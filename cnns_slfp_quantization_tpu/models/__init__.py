@@ -1,0 +1,107 @@
+"""Model zoo registry.
+
+Names mirror the reference drivers' ``--net`` values
+(cifar100_train_eval.py:112-134, imgnet_train_eval.py:92-114), keyed by
+dataset:
+
+cifar:  mobilenet, mobilenet_swish, shufflenetv2, shufflenetv2_swish,
+        vgg16, vgg16_gelu
+imgnet: mobilenetv1, resnet, alexnet, squeezenet, inceptionv3
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from cnns_slfp_quantization_tpu import calib
+
+
+def create_model(
+    name: str,
+    qbit: int = 32,
+    *,
+    capture: Optional[str] = None,
+    compute_dtype: Optional[Any] = None,
+    scales: Optional[calib.ScaleSet] = None,
+    num_classes: Optional[int] = None,
+):
+    """Build a model by reference driver name (see module docstring)."""
+    from cnns_slfp_quantization_tpu.models import mobilenetv1
+
+    common = dict(qbit=qbit, capture=capture, compute_dtype=compute_dtype)
+
+    if name in ("mobilenet", "cifar/mobilenet"):
+        return mobilenetv1.MobileNetV1(
+            scales=scales or calib.load_scales("mobilenetv1_cifar"),
+            num_classes=num_classes or 100, **common,
+        )
+    if name in ("mobilenet_swish", "cifar/mobilenet_swish"):
+        return mobilenetv1.MobileNetV1(
+            scales=scales or calib.load_scales("mobilenetv1_swish_cifar"),
+            num_classes=num_classes or 100, swish_tail=4, layerout_quant=True,
+            **common,
+        )
+    if name in ("mobilenetv1", "imgnet/mobilenetv1"):
+        return mobilenetv1.MobileNetV1(
+            scales=scales or calib.load_scales("mobilenetv1_imgnet"),
+            num_classes=num_classes or 1000, quant_classifier=False, **common,
+        )
+    if name in ("shufflenetv2", "shufflenetv2_swish", "cifar/shufflenetv2",
+                "cifar/shufflenetv2_swish"):
+        from cnns_slfp_quantization_tpu.models import shufflenetv2
+
+        # Both driver names build the ReLU architecture; they differ only in
+        # which checkpoint is loaded (cifar100_train_eval.py:112-118).
+        return shufflenetv2.ShuffleNetV2(
+            scales=scales or calib.load_scales("shufflenetv2_cifar"),
+            num_classes=num_classes or 100, **common,
+        )
+    if name in ("vgg16", "cifar/vgg16"):
+        from cnns_slfp_quantization_tpu.models import vgg16
+
+        return vgg16.VGG16(
+            scales=scales or calib.load_scales("vgg16_cifar"),
+            num_classes=num_classes or 100, **common,
+        )
+    if name in ("vgg16_gelu", "cifar/vgg16_gelu"):
+        from cnns_slfp_quantization_tpu.models import vgg16
+
+        return vgg16.VGG16(
+            scales=scales or calib.load_scales("vgg16_gelu_cifar"),
+            num_classes=num_classes or 100, gelu_variant=True, **common,
+        )
+    if name in ("resnet", "resnet50", "imgnet/resnet"):
+        from cnns_slfp_quantization_tpu.models import resnet50
+
+        return resnet50.ResNet50(
+            scales=scales or calib.load_scales("resnet50_imgnet"),
+            num_classes=num_classes or 1000, **common,
+        )
+    if name in ("alexnet", "imgnet/alexnet"):
+        from cnns_slfp_quantization_tpu.models import alexnet
+
+        return alexnet.AlexNet(
+            scales=scales or calib.load_scales("alexnet_imgnet"),
+            num_classes=num_classes or 1000, **common,
+        )
+    if name in ("squeezenet", "imgnet/squeezenet"):
+        from cnns_slfp_quantization_tpu.models import squeezenet
+
+        return squeezenet.SqueezeNet(
+            scales=scales or calib.load_scales("squeezenet_imgnet"),
+            num_classes=num_classes or 1000, **common,
+        )
+    if name in ("inceptionv3", "imgnet/inceptionv3"):
+        from cnns_slfp_quantization_tpu.models import inception_v3
+
+        return inception_v3.InceptionV3(num_classes=num_classes or 1000)
+    raise ValueError(f"unknown model {name!r}")
+
+
+MODEL_NAMES = {
+    "cifar": ["mobilenet", "mobilenet_swish", "shufflenetv2", "shufflenetv2_swish",
+              "vgg16", "vgg16_gelu"],
+    "imgnet": ["mobilenetv1", "resnet", "alexnet", "squeezenet", "inceptionv3"],
+}
+
+INPUT_SIZE = {"cifar": 32, "imgnet": 224}

@@ -1,0 +1,179 @@
+"""Quantized conv / dense layers (reference: utils/conv2d_func.py).
+
+Semantics (conv2d_func.py:20-25, 41-47, 60-65):
+
+    input_q  = Q_act(x / Ka)
+    weight_q = Q_weight(w / Kw)
+    y        = (conv(input_q, weight_q) [+ b/(Ka*Kw)]) * Ka * Kw
+
+TPU-first design:
+
+- NHWC activations / HWIO kernels (MXU-friendly; the reference is NCHW/OIHW).
+- The quantizers run in exact float32; the conv itself can optionally run in
+  bfloat16 with float32 accumulation (``compute_dtype=jnp.bfloat16``) — the
+  bf16 mantissa error (2**-8) is ~10x below the SLFP<3,4> code spacing
+  (2**(1/16)-1), so accuracy impact is negligible while the MXU runs at
+  full rate.  ``compute_dtype=None`` keeps full fp32 parity.
+- Calibration capture is explicit and jit-friendly: with ``capture="absmax"``
+  the layer sows scalar max|x|, max|w|, max|y| into the "calib" collection
+  (what the reference's get_scale_factor reduces on the host,
+  cifar100_train_eval.py:213-277); with ``capture="full"`` it sows the whole
+  ``input_q``/``weight_q`` tensors into "intermediates" (the reference's
+  per-layer attribute stash, conv2d_func.py:21-22).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cnns_slfp_quantization_tpu.ops import sfp
+
+
+def _maybe_cast(x, dtype):
+    return x if dtype is None else x.astype(dtype)
+
+
+
+def _sow_absmax(mdl, tag: str, value) -> None:
+    """Sow max|value| into the "calib" collection, keyed by layer id."""
+    lid = mdl.layer_id
+    name = f"{tag}{lid}" if lid is not None else tag
+    mdl.sow("calib", name, jnp.max(jnp.abs(value)),
+            reduce_fn=jnp.maximum, init_fn=lambda: jnp.float32(0))
+
+
+class QuantConv(nn.Module):
+    """Quantized 2D convolution with per-tensor max scaling.
+
+    Mirrors ``conv2d_Q`` / ``conv2d_Q_bias`` (conv2d_func.py:8-48): ``ka`` and
+    ``kw`` are the *already divided* scale constants (max_abs / 15.5) the
+    models thread in per layer.
+    """
+
+    features: int
+    kernel_size: Sequence[int]
+    qbit: int = 32
+    ka: float = 1.0
+    kw: float = 1.0
+    strides: Sequence[int] = (1, 1)
+    padding: Any = 0  # int p -> ((p,p),(p,p)), torch-style; or explicit pairs
+    feature_group_count: int = 1
+    use_bias: bool = False
+    capture: Optional[str] = None  # None | "absmax" | "full"
+    compute_dtype: Optional[Any] = None
+    layer_id: Optional[int] = None  # reference layer index, for calib dumps
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw_ = self.kernel_size
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.he_normal(),
+            (kh, kw_, in_features // self.feature_group_count, self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+
+        ka = np.float32(self.ka)
+        kw = np.float32(self.kw)
+        if self.capture == "absmax":
+            _sow_absmax(self, "in", x)
+            _sow_absmax(self, "w", kernel)
+
+        input_q = sfp.quantize_act(x / ka, self.qbit)
+        weight_q = sfp.quantize_weight(kernel / kw, self.qbit)
+        if self.capture == "full":
+            self.sow("intermediates", "input_q", input_q)
+            self.sow("intermediates", "weight_q", weight_q)
+
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = ((pad, pad), (pad, pad))
+        elif len(pad) == 2 and all(isinstance(p, int) for p in pad):
+            pad = ((pad[0], pad[0]), (pad[1], pad[1]))
+        y = jax.lax.conv_general_dilated(
+            _maybe_cast(input_q, self.compute_dtype),
+            _maybe_cast(weight_q, self.compute_dtype),
+            window_strides=tuple(self.strides),
+            padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.feature_group_count,
+            preferred_element_type=jnp.float32,
+        )
+        if bias is not None:
+            # conv2d_func.py:44: bias_q = b/(Ka*Kw) added pre-scale.
+            y = y + bias / (ka * kw)
+        y = y * (ka * kw)
+        if self.capture == "absmax":
+            _sow_absmax(self, "out", y)
+        return y
+
+
+class QuantDense(nn.Module):
+    """Quantized fully-connected layer (``linear_Q``, conv2d_func.py:50-66)."""
+
+    features: int
+    qbit: int = 32
+    ka: float = 1.0
+    kw: float = 1.0
+    use_bias: bool = True
+    capture: Optional[str] = None
+    compute_dtype: Optional[Any] = None
+    layer_id: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.he_normal(), (in_features, self.features), jnp.float32
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+
+        ka = np.float32(self.ka)
+        kw = np.float32(self.kw)
+        if self.capture == "absmax":
+            _sow_absmax(self, "in", x)
+            _sow_absmax(self, "w", kernel)
+
+        input_q = sfp.quantize_act(x / ka, self.qbit)
+        weight_q = sfp.quantize_weight(kernel / kw, self.qbit)
+        if self.capture == "full":
+            self.sow("intermediates", "input_q", input_q)
+            self.sow("intermediates", "weight_q", weight_q)
+
+        y = jnp.dot(
+            _maybe_cast(input_q, self.compute_dtype),
+            _maybe_cast(weight_q, self.compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        if bias is not None:
+            y = y + bias / (ka * kw)
+        y = y * (ka * kw)
+        if self.capture == "absmax":
+            _sow_absmax(self, "out", y)
+        return y
+
+
+class LayeroutQuant(nn.Module):
+    """SFP<4,4> layer-output quantizer module (sfp_quant.py:163-175)."""
+
+    qbit: int = 32
+    bug_compat: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return sfp.quantize_layerout(x, self.qbit, bug_compat=self.bug_compat)

@@ -1,0 +1,344 @@
+"""SFP / SLFP quantizer core (TPU-native numerics).
+
+Re-implements, with exact table-driven arithmetic, the fake-quantization
+semantics of the reference's ``utils/sfp_quant.py``:
+
+- ``qbit == 7``  -> SFP<3,3>: linear mantissa, ``round(m*8)/8 * 2**e``
+  (reference sfp_quant.py:14-30).
+- ``qbit == 8`` weights -> SLFP<3,4>: log mantissa,
+  ``2**(e + round(log2(m)*16)/16)`` (reference sfp_quant.py:32-47).
+- ``qbit == 8`` activations -> SLFP<3,4> with a *linear pre-round* before the
+  log conversion: ``m_q = round(m*16)/16`` then ``round(log2(m_q)*16)/16``
+  (reference sfp_quant.py:80-96).
+- layer-output quantizer -> SFP<4,4>: ``round(m*16)/16 * 2**e`` clamped at
+  248 (reference sfp_quant.py:105-127).
+
+Common boundary behaviour (reference sfp_quant.py:26-29, 43-46, 74-77,
+92-95): ``|x| < 0.0625 -> 1e-10`` (pseudo-zero), ``0.0625 <= |x| < 0.125 ->
+0.125`` (subnormal floor), and clamps ``|x| >= 15 -> 15`` (SFP<3,3>) /
+``|x| > 15.32165 -> 15.32165`` (SLFP<3,4>, = 2**(3+15/16) rounded down to the
+reference's float literal).
+
+Design notes (TPU-first):
+
+- No data-dependent transcendentals: exponent/mantissa extraction uses
+  ``frexp``/``ldexp`` (exact bit manipulation) and the log-domain mantissa
+  binning uses precomputed float64-derived boundary tables applied as 16
+  fused compare+FMA steps on the VPU.  This sidesteps ``log2``/``pow``
+  last-ulp divergence across backends (the reference's results can flip a
+  rounding bin depending on the CUDA libm); correctness is asserted against
+  the enumerable 256-value codebook instead of against torch.
+- All quantizers carry an identity straight-through-estimator gradient via
+  ``jax.custom_vjp`` (reference sfp_quant.py:50-53, 99-102, 129-132).
+- True 8-bit storage: ``pack_*``/``unpack_*`` convert quantized float values
+  to/from real uint8 codes (sign | exp | mantissa) so weights can live in
+  HBM at 1 byte/element.  The reference only ever fakes quantization in
+  FP32; packing is the TPU-native extension that the fused Pallas kernels
+  consume.
+
+Known intentional divergences from the reference (documented, flag-gated):
+
+- sfp_quant.py:122-123 writes the SFP<4,4> subnormal thresholds as
+  ``2^(-8)`` which in Python is XOR (= -6), making the subnormal branch dead.
+  ``quantize_layerout(..., bug_compat=True)`` (the default) reproduces the
+  shipped behaviour (no flush); ``bug_compat=False`` applies the intended
+  ``2**-8`` / ``2**-7`` thresholds.
+- The reference produces NaN when the SFP<4,4> quantizer sees an exact zero
+  (``log2(0) = -inf`` with a dead subnormal branch); we return 0.0.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PSEUDO_ZERO = np.float32(1e-10)
+SFP33_MAX = np.float32(15.0)
+# Reference clamps at the float literal 15.32165 (sfp_quant.py:46), which is
+# slightly *below* the true top code 2**(3 + 15/16) = 15.3216522...
+SLFP34_CLAMP = np.float32(15.32165)
+SLFP34_MAX_CODE = np.float32(2.0 ** (3.0 + 15.0 / 16.0))
+SFP44_MAX = np.float32(248.0)
+SUBNORMAL_LO = np.float32(0.0625)   # below: pseudo-zero
+SUBNORMAL_HI = np.float32(0.125)    # [lo, hi): floor to 0.125
+
+# ---------------------------------------------------------------------------
+# Precomputed tables (float64 derivation -> float32 use).
+# ---------------------------------------------------------------------------
+
+# 2**(i/16) for i = 0..16: the SLFP<3,4> mantissa codebook within one octave.
+_EXP2_16 = (2.0 ** (np.arange(17, dtype=np.float64) / 16.0)).astype(np.float32)
+
+# Rounding boundaries for i = round(log2(m) * 16): bin i starts at
+# m = 2**((i - 0.5)/16).  Irrational, hence never exactly representable in
+# float32 -> the round-half mode is unreachable and plain >= comparison is
+# exact.
+_LOG_BIN_BOUNDS = (
+    2.0 ** ((np.arange(1, 17, dtype=np.float64) - 0.5) / 16.0)
+).astype(np.float32)
+
+# Activation path: linear mantissa code j = round(m*16) - 16 (j = 0..16) is
+# then log-converted: ml_idx = round(log2(1 + j/16) * 16).  Precompose the
+# two tables so the runtime does a single mantissa lookup.
+_ACT_ML_IDX = np.around(
+    np.log2(1.0 + np.arange(17, dtype=np.float64) / 16.0) * 16.0
+).astype(np.int64)
+_ACT_M_TABLE = _EXP2_16[np.minimum(_ACT_ML_IDX, 16)]
+
+# Per-step increments for the branch-free masked-FMA table lookups.
+_EXP2_16_STEPS = (_EXP2_16[1:] - _EXP2_16[:-1]).astype(np.float32)
+_ACT_M_STEPS = (_ACT_M_TABLE[1:] - _ACT_M_TABLE[:-1]).astype(np.float32)
+
+
+def _frexp_1_2(ax: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Split |x| into (mantissa in [1, 2), integer exponent), exactly.
+
+    ``frexp`` returns m in [0.5, 1); rescale to the [1, 2) convention used by
+    the reference (sfp_quant.py:21-22).  Exact for all finite inputs
+    including float32 subnormals; ``frexp(0) = (0, 0)``.
+    """
+    m, e = jnp.frexp(ax)
+    return m * 2.0, e - 1
+
+
+def _masked_fma_lookup(base: float, steps: np.ndarray, idx_ge):
+    """Branch-free small-table lookup: table[idx] = base + sum step_i*[idx>=i].
+
+    ``idx_ge(i)`` must return a boolean array {idx >= i}.  Compiles to 16
+    fused compare+select+add VPU ops; no gather.
+    """
+    out = jnp.asarray(base, jnp.float32)
+    for i in range(1, len(steps) + 1):
+        out = out + jnp.where(idx_ge(i), steps[i - 1], np.float32(0.0))
+    return out
+
+
+def _log_mantissa_q(m: jax.Array) -> jax.Array:
+    """SLFP<3,4> weight-path mantissa: 2**(round(log2(m)*16)/16), m in [1,2)."""
+    return _masked_fma_lookup(
+        _EXP2_16[0], _EXP2_16_STEPS, lambda i: m >= _LOG_BIN_BOUNDS[i - 1]
+    )
+
+
+def _act_mantissa_q(m: jax.Array) -> jax.Array:
+    """SLFP<3,4> act-path mantissa: linear round to j/16 then log-convert."""
+    j = jnp.round(m * 16.0) - 16.0  # exact; j in 0..16 for m in [1,2)
+    return _masked_fma_lookup(
+        _ACT_M_TABLE[0], _ACT_M_STEPS, lambda i: j >= np.float32(i)
+    )
+
+
+def _apply_boundaries(ax, out, *, clamp, clamp_ge):
+    """Subnormal flush + clamp shared by SFP<3,3>/SLFP<3,4> paths."""
+    out = jnp.where(ax < SUBNORMAL_LO, PSEUDO_ZERO, out)
+    out = jnp.where((ax >= SUBNORMAL_LO) & (ax < SUBNORMAL_HI), SUBNORMAL_HI, out)
+    big = (ax >= clamp) if clamp_ge else (ax > clamp)
+    return jnp.where(big, clamp, out)
+
+
+def _sfp33_abs(ax: jax.Array) -> jax.Array:
+    """|x| -> SFP<3,3> codebook value (reference sfp_quant.py:14-30)."""
+    m, e = _frexp_1_2(ax)
+    q = jnp.round(m * 8.0) * np.float32(0.125)
+    out = jnp.ldexp(q, e)
+    return _apply_boundaries(ax, out, clamp=SFP33_MAX, clamp_ge=True)
+
+
+def _slfp34_weight_abs(ax: jax.Array) -> jax.Array:
+    """|x| -> SLFP<3,4> codebook value, weight path (sfp_quant.py:32-47)."""
+    m, e = _frexp_1_2(ax)
+    out = jnp.ldexp(_log_mantissa_q(m), e)
+    return _apply_boundaries(ax, out, clamp=SLFP34_CLAMP, clamp_ge=False)
+
+
+def _slfp34_act_abs(ax: jax.Array) -> jax.Array:
+    """|x| -> SLFP<3,4> codebook value, activation path (sfp_quant.py:80-96).
+
+    Differs from the weight path by a linear mantissa pre-round before the
+    log conversion (the hardware's linear->log converter).
+    """
+    m, e = _frexp_1_2(ax)
+    out = jnp.ldexp(_act_mantissa_q(m), e)
+    return _apply_boundaries(ax, out, clamp=SLFP34_CLAMP, clamp_ge=False)
+
+
+def _sfp44_abs(ax: jax.Array, bug_compat: bool) -> jax.Array:
+    """|x| -> SFP<4,4> codebook value (sfp_quant.py:105-127)."""
+    m, e = _frexp_1_2(ax)
+    q = jnp.round(m * 16.0) * np.float32(0.0625)
+    out = jnp.ldexp(q, e)
+    if not bug_compat:
+        lo, hi = np.float32(2.0**-8), np.float32(2.0**-7)
+        out = jnp.where(ax < lo, PSEUDO_ZERO, out)
+        out = jnp.where((ax >= lo) & (ax < hi), hi, out)
+    return jnp.where(ax >= SFP44_MAX, SFP44_MAX, out)
+
+
+def _signed(fn, x, *args):
+    x32 = x.astype(jnp.float32)
+    out = jnp.sign(x32) * fn(jnp.abs(x32), *args)
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Public quantizers with straight-through-estimator gradients.
+# ---------------------------------------------------------------------------
+
+
+def _ste(fn):
+    """Wrap ``fn(x) -> q`` with an identity-gradient custom VJP."""
+
+    @jax.custom_vjp
+    def op(x):
+        return fn(x)
+
+    op.defvjp(lambda x: (fn(x), None), lambda _, g: (g,))
+    return op
+
+
+_quant_weight_7 = _ste(lambda x: _signed(_sfp33_abs, x))
+_quant_weight_8 = _ste(lambda x: _signed(_slfp34_weight_abs, x))
+_quant_act_7 = _quant_weight_7  # k=7 act == weight path (sfp_quant.py:63-78)
+_quant_act_8 = _ste(lambda x: _signed(_slfp34_act_abs, x))
+_quant_layerout_bug = _ste(lambda x: _signed(_sfp44_abs, x, True))
+_quant_layerout_fixed = _ste(lambda x: _signed(_sfp44_abs, x, False))
+
+
+def quantize_weight(x: jax.Array, qbit: int) -> jax.Array:
+    """Fake-quantize weights: SFP<3,3> (qbit=7) / SLFP<3,4> (qbit=8).
+
+    ``qbit=32`` is the FP32 pass-through (reference sfp_quant.py:11-12).
+    Gradient is identity (STE).
+    """
+    if qbit == 32:
+        return x
+    if qbit == 7:
+        return _quant_weight_7(x)
+    if qbit == 8:
+        return _quant_weight_8(x)
+    raise ValueError(f"unsupported qbit {qbit} (expected 7, 8 or 32)")
+
+
+def quantize_act(x: jax.Array, qbit: int) -> jax.Array:
+    """Fake-quantize activations: SFP<3,3> (qbit=7) / SLFP<3,4> (qbit=8)."""
+    if qbit == 32:
+        return x
+    if qbit == 7:
+        return _quant_act_7(x)
+    if qbit == 8:
+        return _quant_act_8(x)
+    raise ValueError(f"unsupported qbit {qbit} (expected 7, 8 or 32)")
+
+
+def quantize_layerout(x: jax.Array, qbit: int, *, bug_compat: bool = True) -> jax.Array:
+    """Fake-quantize layer outputs to SFP<4,4> for any qbit <= 8.
+
+    ``bug_compat=True`` (default) reproduces the reference's dead subnormal
+    branch (sfp_quant.py:122-123, `^` is XOR not power); ``False`` applies
+    the intended ``2**-8`` / ``2**-7`` thresholds.
+    """
+    if qbit == 32:
+        return x
+    if qbit <= 8:
+        return (_quant_layerout_bug if bug_compat else _quant_layerout_fixed)(x)
+    raise ValueError(f"unsupported qbit {qbit} (expected <=8 or 32)")
+
+
+# ---------------------------------------------------------------------------
+# Codebooks (for tests and LUT-based kernels).
+# ---------------------------------------------------------------------------
+
+
+@functools.cache
+def codebook(fmt: str) -> np.ndarray:
+    """All non-negative representable values of a format, ascending.
+
+    fmt in {"sfp33", "slfp34", "sfp44"}.  Includes the pseudo-zero 1e-10
+    (for sfp33/slfp34) so quantizer outputs are always members.
+    """
+    if fmt == "sfp33":
+        vals = [(8 + m) / 8.0 * 2.0**e for e in range(-3, 4) for m in range(8)]
+        vals = [v for v in vals if v <= 15.0] + [float(PSEUDO_ZERO)]
+    elif fmt == "slfp34":
+        # e = -4 (the E=0 octave, 0.0625..0.117) exists in the bit format but
+        # the quantizer flushes that range to pseudo-zero / 0.125; include it
+        # so every decodable uint8 code is a member.
+        vals = [float(v) * 2.0**e for e in range(-4, 4) for v in _EXP2_16[:16]]
+        vals += [float(SLFP34_CLAMP), float(PSEUDO_ZERO)]
+    elif fmt == "sfp44":
+        vals = [(16 + m) / 16.0 * 2.0**e for e in range(-8, 8) for m in range(16)]
+        vals = [v for v in vals if v <= 248.0] + [float(PSEUDO_ZERO)]
+    else:
+        raise ValueError(fmt)
+    return np.unique(np.asarray(sorted(vals), dtype=np.float32))
+
+
+# ---------------------------------------------------------------------------
+# Real 8-bit packing: quantized float values <-> uint8 codes.
+#
+# SLFP<3,4> code layout (sign | 3-bit exp | 4-bit mantissa):
+#   value = 2**((code7 / 16) - 4) for code7 = (code & 0x7f) in 1..127,
+#   code7 == 0 encodes (pseudo-)zero.  "0 111 1111" = 15.3216522 is the top
+#   code (reference comment sfp_quant.py:95).
+# ---------------------------------------------------------------------------
+
+
+def pack_slfp34(q: jax.Array) -> jax.Array:
+    """Pack SLFP<3,4>-quantized float values into uint8 codes.
+
+    Values must be outputs of ``quantize_weight/act(..., 8)``; the clamp
+    literal 15.32165 maps to the top code (decodes to 15.3216522, a 1.4e-7
+    relative difference).
+    """
+    x32 = q.astype(jnp.float32)
+    sign = (x32 < 0).astype(jnp.uint8) << 7
+    ax = jnp.abs(x32)
+    m, e = _frexp_1_2(ax)
+    idx = jnp.zeros(ax.shape, jnp.int32)
+    for i in range(1, 17):
+        idx = idx + (m >= _LOG_BIN_BOUNDS[i - 1]).astype(jnp.int32)
+    code7 = (e + 4) * 16 + idx  # idx==16 naturally carries into e+1
+    code7 = jnp.clip(code7, 0, 127)
+    code7 = jnp.where(ax < SUBNORMAL_HI, 0, code7)  # pseudo-zero & below
+    return (sign | code7.astype(jnp.uint8)).astype(jnp.uint8)
+
+
+def unpack_slfp34(codes: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """Decode uint8 SLFP<3,4> codes to float values (0 for the zero code)."""
+    c = codes.astype(jnp.int32)
+    code7 = c & 0x7F
+    sign = jnp.where((c & 0x80) != 0, np.float32(-1.0), np.float32(1.0))
+    val = jnp.ldexp(
+        _masked_fma_lookup(
+            _EXP2_16[0], _EXP2_16_STEPS, lambda i: (code7 & 15) >= i
+        ),
+        (code7 >> 4) - 4,
+    )
+    val = jnp.where(code7 == 0, np.float32(0.0), val)
+    return (sign * val).astype(dtype)
+
+
+def pack_sfp33(q: jax.Array) -> jax.Array:
+    """Pack SFP<3,3>-quantized float values into uint8 (sign|3e|3m) codes."""
+    x32 = q.astype(jnp.float32)
+    sign = (x32 < 0).astype(jnp.uint8) << 6
+    ax = jnp.abs(x32)
+    m, e = _frexp_1_2(ax)
+    mant = jnp.round(m * 8.0).astype(jnp.int32)  # 8..16
+    code6 = (e + 4) * 8 + (mant - 8)  # mant==16 carries into e+1
+    code6 = jnp.clip(code6, 0, 63)
+    code6 = jnp.where(ax < SUBNORMAL_HI, 0, code6)
+    return (sign | code6.astype(jnp.uint8)).astype(jnp.uint8)
+
+
+def unpack_sfp33(codes: jax.Array, dtype=jnp.float32) -> jax.Array:
+    c = codes.astype(jnp.int32)
+    code6 = c & 0x3F
+    sign = jnp.where((c & 0x40) != 0, np.float32(-1.0), np.float32(1.0))
+    mant = (8 + (code6 & 7)).astype(jnp.float32) * np.float32(0.125)
+    val = jnp.ldexp(mant, (code6 >> 3) - 4)
+    val = jnp.where(code6 == 0, np.float32(0.0), val)
+    return (sign * val).astype(dtype)

@@ -1,0 +1,26 @@
+"""Test harness: force a virtual 8-device CPU backend.
+
+This image preloads jax via an axon sitecustomize (PYTHONPATH=/root/.axon_site)
+and pins JAX_PLATFORMS=axon, which routes every op through a single real TPU
+tunnel — far too slow for a unit-test suite and wrong for multi-device
+sharding tests.  Since jax is already imported (and the axon backend already
+initialized) by the time any conftest runs, switch in-process: update the
+platform config, set --xla_force_host_platform_device_count=8 (the standard
+JAX fake-backend trick, SURVEY.md §4e) and clear the initialized backends so
+the next lookup builds the 8-device CPU client.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+from jax.extend import backend as _jexb  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+_jexb.clear_backends()
+
+assert len(jax.devices()) == 8 and jax.devices()[0].platform == "cpu"
