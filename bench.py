@@ -1,0 +1,74 @@
+"""Headline benchmark: SLFP8 ResNet-50 ImageNet inference throughput.
+
+Prints ONE JSON line:
+  {"metric": "resnet50_slfp8_images_per_sec_per_chip", "value": N,
+   "unit": "images/sec/chip", "vs_baseline": R}
+
+``vs_baseline`` is the SLFP8 throughput relative to the same-hardware FP32
+ResNet-50 (the reference publishes no throughput numbers — SURVEY.md §6 — so
+the meaningful baseline is "quantization must not cost throughput";
+R >= 1.0 means the quantized path is at least as fast as FP32).
+
+Timing method: K forward passes chained inside one jitted ``lax.scan`` whose
+carry accumulates a scalar from every output, fetched to host at the end —
+the only timing the axon relay can't fake (block_until_ready on remote
+arrays returns before execution completes, and deep async dispatch queues
+stall the relay; see .claude/skills/verify/SKILL.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def scan_throughput(model, variables, x0, *, steps: int = 16) -> float:
+    """images/sec over `steps` chained forward passes (one dispatch)."""
+
+    @jax.jit
+    def run(variables, x0):
+        def body(acc, i):
+            # per-step input perturbation prevents XLA from CSE-ing the
+            # loop-invariant forward
+            y = model.apply(
+                variables, x0 * (1.0 + i.astype(jnp.float32) * 1e-6),
+                train=False)
+            return acc + jnp.sum(y.astype(jnp.float32)), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(steps))
+        return acc
+
+    float(run(variables, x0))  # compile + warm
+    t0 = time.perf_counter()
+    float(run(variables, x0))  # host fetch of the scalar forces completion
+    dt = time.perf_counter() - t0
+    return x0.shape[0] * steps / dt
+
+
+def main():
+    from cnns_slfp_quantization_tpu import models
+
+    batch = 64
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (batch, 224, 224, 3), jnp.float32)
+
+    results = {}
+    for tag, qbit in (("slfp8", 8), ("fp32", 32)):
+        model = models.create_model(
+            "resnet", qbit, compute_dtype=jnp.bfloat16 if qbit == 8 else None)
+        variables = model.init(jax.random.PRNGKey(1), x[:1], train=False)
+        results[tag] = scan_throughput(model, variables, x)
+
+    print(json.dumps({
+        "metric": "resnet50_slfp8_images_per_sec_per_chip",
+        "value": round(results["slfp8"], 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(results["slfp8"] / results["fp32"], 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""Shared CLI engine for the CIFAR / ImageNet drivers.
+
+Reproduces the reference drivers' control flow (cifar100_train_eval.py:84-322,
+imgnet_train_eval.py:69-325): data -> model -> optimizer -> optional
+calibration (--pre_reference) -> epoch loop of train/test -> best-checkpoint
+save.  Divergences (documented in SURVEY.md §5):
+
+- The reference calls ``optimizer.step(); lr_schedu.step()`` once per epoch
+  *before* training (cifar100_train_eval.py:307-308) — a quirk that nudges
+  weights through stale momentum; not reproduced.
+- Checkpoints are orbax trees (``--pretrain_dir`` still accepts a torch
+  ``.pth``, converted on load).
+- ``--synthetic`` runs on generated data when no dataset is on disk
+  (zero-egress environment).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cnns_slfp_quantization_tpu import calib, models
+from cnns_slfp_quantization_tpu.calib import calibrate as calibrate_lib
+from cnns_slfp_quantization_tpu.data import synthetic
+from cnns_slfp_quantization_tpu.train import checkpoint, loop, optimizers
+from cnns_slfp_quantization_tpu.utils.logging import MetricLogger
+
+
+def add_common_args(parser):
+    parser.add_argument("--root_dir", type=str, default="./")
+    parser.add_argument("--data_dir", type=str, default="./data")
+    parser.add_argument("--retrain", action="store_true", default=False)
+    parser.add_argument("--save_model", action="store_true", default=False)
+    parser.add_argument("--pre_reference", action="store_true", default=False)
+    parser.add_argument("--pretrain", action="store_true", default=False)
+    parser.add_argument("--pretrain_dir", type=str, default=None)
+    parser.add_argument("--optimizer", type=str, default="SGD")
+    parser.add_argument("--Qbits", type=int, default=32)
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--wd", type=float, default=5e-4)
+    parser.add_argument("--num", type=int, default=0)
+    parser.add_argument("--log_interval", type=int, default=100)
+    parser.add_argument("--num_workers", type=int, default=4)
+    parser.add_argument("--synthetic", action="store_true", default=False,
+                        help="use generated data (no dataset needed)")
+    parser.add_argument("--compute_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="conv/matmul compute dtype (bfloat16 = MXU rate)")
+    parser.add_argument("--mesh_data", type=int, default=0,
+                        help="data-parallel mesh size (0 = single device)")
+    parser.add_argument("--mesh_model", type=int, default=1,
+                        help="tensor-parallel mesh size")
+    # accepted for reference-CLI parity; GPU pinning is meaningless on TPU
+    parser.add_argument("--use_gpu", type=str, default="0")
+    parser.add_argument("--cluster", action="store_true", default=False)
+
+
+def build_model(cfg, net: str, image_size: int):
+    compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+    model = models.create_model(net, cfg.Qbits, compute_dtype=compute_dtype)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+    variables = model.init(rng, x, train=False)
+    return model, variables
+
+
+def load_pretrained(cfg, variables):
+    path = cfg.pretrain_dir
+    if path is None:
+        return variables
+    if str(path).endswith(".pth"):
+        return checkpoint.load_pth(path, variables)
+    restored = checkpoint.restore(path)
+    return restored
+
+
+def run_calibration(cfg, model_name, net, variables, eval_batches,
+                    divisor=15.5, total_images=1000):
+    """--pre_reference: dump max_inout/<net>.txt + max_weight_<net>.txt
+    (cifar100_train_eval.py:279-301) and a JSON scale file."""
+    model = model_name  # model with capture="absmax"
+    result = calibrate_lib.calibrate(model, variables, eval_batches,
+                                     max_images=total_images)
+    with open(f"max_inout_{net}.txt", "w") as f:
+        for idx in sorted(result.input_absmax):
+            f.write(f"Layer {idx} Max Absolute Input:\n")
+            f.write(str(result.input_absmax[idx]) + "\n\n")
+        for idx in sorted(result.output_absmax):
+            f.write(f"Layer {idx} Max Absolute Output:\n")
+            f.write(str(result.output_absmax[idx]) + "\n\n")
+    with open(f"max_weight_{net}.txt", "w") as f:
+        for idx in sorted(result.weight_absmax):
+            f.write(f"Layer {idx} Max Absolute weight:\n")
+            f.write(str(result.weight_absmax[idx]) + "\n\n")
+    calib.save_scales(f"{net}_calibrated", result.ka_max(), result.kw_max(),
+                      divisor)
+    print(f"Results saved to max_weight_{net}.txt")
+    return result
+
+
+def run_main_loop(cfg, model, variables, train_batches, eval_batches,
+                  *, max_epochs, log_dir, ckpt_path, steps_per_epoch,
+                  milestones=(75, 85, 100), eval_max_images=None,
+                  has_dropout=False):
+    """Epoch loop (cifar100_train_eval.py:303-320)."""
+    logger = MetricLogger(log_dir)
+    lr_sched = loop.multistep_lr(cfg.lr, milestones, 0.1, steps_per_epoch)
+    tx = optimizers.create_optimizer(cfg.optimizer, lr_sched, cfg.Qbits,
+                                     weight_decay=cfg.wd)
+    state = loop.TrainState.create(variables, tx)
+    train_step = jax.jit(loop.make_train_step(model, tx, has_dropout),
+                         donate_argnums=0)
+    eval_step = jax.jit(loop.make_eval_step(model))
+
+    rng = jax.random.PRNGKey(cfg.num)
+    acc_data, acc_max = [], 0.0
+    for epoch in range(max_epochs):
+        if cfg.retrain:
+            t0 = time.time()
+            state = loop.train_epoch(
+                train_step, state, train_batches, rng,
+                log_interval=cfg.log_interval, epoch=epoch)
+            logger.scalar("epoch_time", time.time() - t0, epoch)
+        metrics = loop.evaluate(eval_step, state.variables(), eval_batches,
+                                max_images=eval_max_images)
+        acc = metrics["top1"]
+        acc_data.append(acc)
+        print(f"------ Precision@1: {acc:.2f}%  Precision@5: "
+              f"{metrics['top5']:.2f}%  ({metrics['images']} images)")
+        logger.scalar("Precision@1", acc, epoch)
+        logger.scalar("Precision@5", metrics["top5"], epoch)
+        if cfg.save_model and acc > acc_max:
+            acc_max = acc
+            checkpoint.save(ckpt_path, jax.device_get(state.variables()))
+            print(f"max acc : {acc_max}\nsaving model....")
+    logger.close()
+    return state, acc_data
