@@ -19,10 +19,15 @@ stall the relay; see .claude/skills/verify/SKILL.md).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+os.makedirs("/tmp/jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def scan_throughput(model, variables, x0, *, steps: int = 16) -> float:
@@ -50,6 +55,7 @@ def scan_throughput(model, variables, x0, *, steps: int = 16) -> float:
 
 def main():
     from cnns_slfp_quantization_tpu import models
+    from cnns_slfp_quantization_tpu.ops import freeze
 
     batch = 64
     rng = jax.random.PRNGKey(0)
@@ -57,9 +63,18 @@ def main():
 
     results = {}
     for tag, qbit in (("slfp8", 8), ("fp32", 32)):
-        model = models.create_model(
-            "resnet", qbit, compute_dtype=jnp.bfloat16 if qbit == 8 else None)
-        variables = model.init(jax.random.PRNGKey(1), x[:1], train=False)
+        if qbit == 8:
+            # inference config: bf16 activation stream + offline-quantized
+            # weights (bit-identical outputs to the QAT-path forward)
+            model = models.create_model(
+                "resnet", 8, compute_dtype=jnp.bfloat16, frozen_weights=True)
+            init_model = models.create_model("resnet", 8)
+            variables = init_model.init(jax.random.PRNGKey(1), x[:1], train=False)
+            cap = models.create_model("resnet", 8, capture="full")
+            variables = freeze.prequantize_variables(cap, variables, x[:1])
+        else:
+            model = models.create_model("resnet", 32)
+            variables = model.init(jax.random.PRNGKey(1), x[:1], train=False)
         results[tag] = scan_throughput(model, variables, x)
 
     print(json.dumps({

@@ -65,12 +65,20 @@ class CifarIterator:
         idx = np.arange(len(self.images))
         if self.train:
             self.rng.shuffle(idx)
+        from cnns_slfp_quantization_tpu.utils import native
+
+        use_native = native.available()
         for s in range(0, len(idx), self.batch_size):
             sel = idx[s:s + self.batch_size]
             if self.drop_remainder and len(sel) < self.batch_size:
                 break
             imgs = self.images[sel]
-            if self.train:
+            if use_native:
+                x = native.cifar_augment(
+                    imgs, transforms.CIFAR_MEAN, transforms.CIFAR_STD,
+                    train=self.train,
+                    seed=int(self.rng.integers(0, 2**63)) if self.train else 0)
+            elif self.train:
                 x = transforms.cifar_train(imgs, self.rng)
             else:
                 x = transforms.cifar_eval(imgs)

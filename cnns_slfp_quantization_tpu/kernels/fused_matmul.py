@@ -1,0 +1,150 @@
+"""Fused Pallas kernel: SLFP act-quantize -> uint8 weight decode -> MXU
+matmul -> scaled epilogue.
+
+The north-star "fused dequant+conv" path (BASELINE.json): weights live in
+HBM as real uint8 SLFP<3,4> codes (4x less weight traffic than fp32 — the
+reference only ever fakes quantization in fp32), activations are quantized
+on the fly in VMEM, the matmul runs in bf16 on the MXU with f32
+accumulation, and the ``*Ka*Kw`` rescale / bias / activation run in the
+epilogue before the tile is written back.
+
+Covers dense layers and 1x1 convolutions (which dominate ResNet-50 /
+MobileNet / ShuffleNet FLOPs); spatial convs keep the XLA path, which is
+already MXU-tiled.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cnns_slfp_quantization_tpu.kernels.quantize import (
+    _P_TABLE,
+    _tree_select,
+    slfp34_act_bits,
+)
+
+
+def slfp34_decode_bits(codes: jax.Array) -> jax.Array:
+    """uint8 SLFP<3,4> codes -> exact float32 values (0 for the zero code)."""
+    c = codes.astype(jnp.int32)
+    code7 = c & 0x7F
+    sign = (c & 0x80) << 24
+    ml = code7 & 15
+    e = (code7 >> 4) - 4
+    bits = ((e + 127) << 23) | _tree_select(ml, _P_TABLE)
+    bits = jnp.where(code7 == 0, 0, bits)
+    return jax.lax.bitcast_convert_type(bits | sign, jnp.float32)
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _matmul_kernel(x_ref, w_ref, b_ref, o_ref, *, ka, kw, act, quantize_x):
+    if quantize_x:
+        xq = slfp34_act_bits(x_ref[:] * np.float32(1.0 / ka))
+    else:
+        xq = x_ref[:]
+    wv = slfp34_decode_bits(w_ref[:])
+    y = jnp.dot(xq.astype(jnp.bfloat16), wv.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+    if b_ref is not None:
+        y = y + b_ref[:] * np.float32(1.0 / (ka * kw))
+    y = y * np.float32(ka * kw)
+    if act is not None:
+        y = act(y)
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+def fused_quant_matmul(
+    x: jax.Array,
+    w_codes: jax.Array,
+    *,
+    ka: float,
+    kw: float,
+    bias: Optional[jax.Array] = None,
+    act: Optional[Callable] = None,
+    quantize_x: bool = True,
+    bm: int = 512,
+    bn: int = 512,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """``act((Q_a(x/ka) @ decode(w_codes)) * ka * kw + bias)``.
+
+    x: [M, K] float; w_codes: [K, N] uint8 SLFP<3,4> codes.
+    """
+    M, K = x.shape
+    K2, N = w_codes.shape
+    assert K == K2, (K, K2)
+    bm = min(bm, max(8, M))
+    bn = min(bn, max(128, N))
+    Mp, Np = _cdiv(M, bm) * bm, _cdiv(N, bn) * bn
+    if Mp != M:
+        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+    if Np != N:
+        w_codes = jnp.pad(w_codes, ((0, 0), (0, Np - N)))
+        if bias is not None:
+            bias = jnp.pad(bias, (0, Np - N))
+    if bias is not None:
+        bias = bias.reshape(1, Np)  # TPU wants >=2-D vectors
+
+    kernel = functools.partial(
+        _matmul_kernel, ka=float(ka), kw=float(kw), act=act,
+        quantize_x=quantize_x)
+    in_specs = [
+        pl.BlockSpec((bm, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+    ]
+    args = [x, w_codes]
+    if bias is not None:
+        in_specs.append(
+            pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM))
+        args.append(bias)
+    else:
+        kernel = functools.partial(kernel_no_bias, kernel)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
+        grid=(Mp // bm, Np // bn),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * Np,
+            bytes_accessed=Mp * K * 4 + K * Np + Mp * Np * 4,
+            transcendentals=0,
+        ),
+    )(*args)
+    return out[:M, :N]
+
+
+def kernel_no_bias(inner, x_ref, w_ref, o_ref):
+    inner(x_ref, w_ref, None, o_ref)
+
+
+def quant_dense(x, w_codes, *, ka, kw, bias=None, act=None, **kw_args):
+    """Dense layer on packed weights; x: [..., K]."""
+    lead = x.shape[:-1]
+    y = fused_quant_matmul(x.reshape(-1, x.shape[-1]), w_codes, ka=ka, kw=kw,
+                           bias=bias, act=act, **kw_args)
+    return y.reshape(*lead, y.shape[-1])
+
+
+def quant_conv1x1(x_nhwc, w_codes, *, ka, kw, bias=None, act=None,
+                  stride: int = 1, **kw_args):
+    """1x1 convolution on packed weights; w_codes: [Cin, Cout]."""
+    if stride != 1:
+        x_nhwc = x_nhwc[:, ::stride, ::stride, :]
+    b, h, w, c = x_nhwc.shape
+    y = fused_quant_matmul(x_nhwc.reshape(-1, c), w_codes, ka=ka, kw=kw,
+                           bias=bias, act=act, **kw_args)
+    return y.reshape(b, h, w, -1)

@@ -24,11 +24,14 @@ def create_model(
     compute_dtype: Optional[Any] = None,
     scales: Optional[calib.ScaleSet] = None,
     num_classes: Optional[int] = None,
+    frozen_weights: bool = False,
 ):
     """Build a model by reference driver name (see module docstring)."""
     from cnns_slfp_quantization_tpu.models import mobilenetv1
 
     common = dict(qbit=qbit, capture=capture, compute_dtype=compute_dtype)
+    if name not in ("inceptionv3", "imgnet/inceptionv3"):
+        common["frozen_weights"] = frozen_weights
 
     if name in ("mobilenet", "cifar/mobilenet"):
         return mobilenetv1.MobileNetV1(

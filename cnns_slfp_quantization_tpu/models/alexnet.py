@@ -24,6 +24,7 @@ class AlexNet(nn.Module):
     qbit: int = 32
     capture: Optional[str] = None
     compute_dtype: Optional[Any] = None
+    frozen_weights: bool = False
 
     def _conv(self, sid, features, kernel, stride=1, pad=0):
         return QuantConv(
@@ -31,7 +32,7 @@ class AlexNet(nn.Module):
             ka=float(self.scales.ka[sid]), kw=float(self.scales.kw[sid]),
             strides=(stride, stride), padding=pad, use_bias=True,
             capture=self.capture, compute_dtype=self.compute_dtype,
-            layer_id=sid, name=f"conv{sid}",
+            frozen_weights=self.frozen_weights, layer_id=sid, name=f"conv{sid}",
         )
 
     def _fc(self, sid, features, name):
@@ -39,7 +40,7 @@ class AlexNet(nn.Module):
             features=features, qbit=self.qbit,
             ka=float(self.scales.ka[sid]), kw=float(self.scales.kw[sid]),
             capture=self.capture, compute_dtype=self.compute_dtype,
-            layer_id=sid, name=name,
+            frozen_weights=self.frozen_weights, layer_id=sid, name=name,
         )
 
     @nn.compact

@@ -47,6 +47,7 @@ class MobileNetV1(nn.Module):
     quant_classifier: bool = True
     capture: Optional[str] = None
     compute_dtype: Optional[Any] = None
+    frozen_weights: bool = False
 
     def _conv(self, i, features, kernel, stride, groups=1, pad=1):
         return QuantConv(
@@ -54,11 +55,11 @@ class MobileNetV1(nn.Module):
             ka=float(self.scales.ka[i]), kw=float(self.scales.kw[i]),
             strides=(stride, stride), padding=pad, feature_group_count=groups,
             use_bias=False, capture=self.capture, compute_dtype=self.compute_dtype,
-            layer_id=i, name=f"conv{i}",
+            frozen_weights=self.frozen_weights, layer_id=i, name=f"conv{i}",
         )
 
     def _bn(self, i):
-        return nn.BatchNorm(momentum=0.9, epsilon=1e-5, name=f"bn{i}")
+        return nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.compute_dtype, name=f"bn{i}")
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -85,6 +86,7 @@ class MobileNetV1(nn.Module):
                 features=self.num_classes, qbit=self.qbit,
                 ka=float(self.scales.ka[27]), kw=float(self.scales.kw[27]),
                 capture=self.capture, compute_dtype=self.compute_dtype,
+                frozen_weights=self.frozen_weights,
                 layer_id=27, name="fc",
             )(x)
         else:

@@ -39,6 +39,7 @@ class ResNet50(nn.Module):
     qbit: int = 32
     capture: Optional[str] = None
     compute_dtype: Optional[Any] = None
+    frozen_weights: bool = False
 
     def _conv(self, sid, features, kernel, stride=1, pad=0, name=""):
         return QuantConv(
@@ -46,11 +47,11 @@ class ResNet50(nn.Module):
             ka=float(self.scales.ka[sid]), kw=float(self.scales.kw[sid]),
             strides=(stride, stride), padding=pad, use_bias=False,
             capture=self.capture, compute_dtype=self.compute_dtype,
-            layer_id=sid, name=name,
+            frozen_weights=self.frozen_weights, layer_id=sid, name=name,
         )
 
     def _bn(self, name):
-        return nn.BatchNorm(momentum=0.9, epsilon=1e-5, name=name)
+        return nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.compute_dtype, name=name)
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -90,6 +91,6 @@ class ResNet50(nn.Module):
             features=self.num_classes, qbit=self.qbit,
             ka=float(self.scales.ka[53]), kw=float(self.scales.kw[53]),
             capture=self.capture, compute_dtype=self.compute_dtype,
-            layer_id=53, name="fc",
+            frozen_weights=self.frozen_weights, layer_id=53, name="fc",
         )(x)
         return x

@@ -49,6 +49,7 @@ class ShuffleUnit(nn.Module):
     qbit: int = 32
     capture: Optional[str] = None
     compute_dtype: Optional[Any] = None
+    frozen_weights: bool = False
 
     def _conv(self, sid, features, kernel, stride=1, groups=1, pad=0, name=""):
         return QuantConv(
@@ -56,11 +57,11 @@ class ShuffleUnit(nn.Module):
             ka=float(self.scales.ka[sid]), kw=float(self.scales.kw[sid]),
             strides=(stride, stride), padding=pad, feature_group_count=groups,
             use_bias=False, capture=self.capture, compute_dtype=self.compute_dtype,
-            layer_id=sid, name=name,
+            frozen_weights=self.frozen_weights, layer_id=sid, name=name,
         )
 
     def _bn(self, name):
-        return nn.BatchNorm(momentum=0.9, epsilon=1e-5, name=name)
+        return nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.compute_dtype, name=name)
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -113,21 +114,24 @@ class ShuffleNetV2(nn.Module):
     ratio: float = 1
     capture: Optional[str] = None
     compute_dtype: Optional[Any] = None
+    frozen_weights: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         out_ch = _STAGE_CHANNELS[self.ratio]
         common = dict(qbit=self.qbit, capture=self.capture,
-                      compute_dtype=self.compute_dtype, scales=self.scales)
+                      compute_dtype=self.compute_dtype, scales=self.scales,
+                      frozen_weights=self.frozen_weights)
 
         # Stem: conv + BN only (reference :152-155)
         x = QuantConv(
             features=24, kernel_size=(3, 3), qbit=self.qbit,
             ka=float(self.scales.ka[0]), kw=float(self.scales.kw[0]),
             padding=1, use_bias=False, capture=self.capture,
-            compute_dtype=self.compute_dtype, layer_id=0, name="pre_conv",
+            compute_dtype=self.compute_dtype, frozen_weights=self.frozen_weights,
+            layer_id=0, name="pre_conv",
         )(x)
-        x = nn.BatchNorm(momentum=0.9, epsilon=1e-5, name="pre_bn")(
+        x = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.compute_dtype, name="pre_bn")(
             x, use_running_average=not train)
 
         def stage(x, sname, base, in_c, out_c, repeat):
@@ -154,9 +158,9 @@ class ShuffleNetV2(nn.Module):
             features=out_ch[3], kernel_size=(1, 1), qbit=self.qbit,
             ka=float(self.scales.ka[55]), kw=float(self.scales.kw[55]),
             use_bias=False, capture=self.capture, compute_dtype=self.compute_dtype,
-            layer_id=55, name="conv5",
+            frozen_weights=self.frozen_weights, layer_id=55, name="conv5",
         )(x)
-        x = nn.BatchNorm(momentum=0.9, epsilon=1e-5, name="conv5_bn")(
+        x = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.compute_dtype, name="conv5_bn")(
             x, use_running_average=not train)
         x = act_lib.relu(LayeroutQuant(qbit=self.qbit, name="conv5_loq")(x))
 
@@ -165,6 +169,6 @@ class ShuffleNetV2(nn.Module):
             features=self.num_classes, qbit=self.qbit,
             ka=float(self.scales.ka[56]), kw=float(self.scales.kw[56]),
             capture=self.capture, compute_dtype=self.compute_dtype,
-            layer_id=56, name="fc",
+            frozen_weights=self.frozen_weights, layer_id=56, name="fc",
         )(x)
         return x

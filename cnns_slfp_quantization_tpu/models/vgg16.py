@@ -34,6 +34,7 @@ class VGG16(nn.Module):
     gelu_variant: bool = False
     capture: Optional[str] = None
     compute_dtype: Optional[Any] = None
+    frozen_weights: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -48,9 +49,10 @@ class VGG16(nn.Module):
                     features=feat, kernel_size=(3, 3), qbit=self.qbit,
                     ka=float(self.scales.ka[i]), kw=float(self.scales.kw[i]),
                     padding=1, use_bias=use_bias, capture=self.capture,
-                    compute_dtype=self.compute_dtype, layer_id=i, name=f"conv{i}",
+                    compute_dtype=self.compute_dtype,
+                    frozen_weights=self.frozen_weights, layer_id=i, name=f"conv{i}",
                 )(x)
-                x = nn.BatchNorm(momentum=0.9, epsilon=1e-5, name=f"bn{i}")(
+                x = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.compute_dtype, name=f"bn{i}")(
                     x, use_running_average=not train)
                 if self.gelu_variant:
                     x = LayeroutQuant(qbit=self.qbit, name=f"loq{i}")(x)
@@ -65,7 +67,7 @@ class VGG16(nn.Module):
                 features=features, qbit=self.qbit,
                 ka=float(self.scales.ka[sid]), kw=float(self.scales.kw[sid]),
                 capture=self.capture, compute_dtype=self.compute_dtype,
-                layer_id=sid, name=name,
+                frozen_weights=self.frozen_weights, layer_id=sid, name=name,
             )(x)
             if final:
                 return x

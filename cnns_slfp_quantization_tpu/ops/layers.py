@@ -67,6 +67,7 @@ class QuantConv(nn.Module):
     capture: Optional[str] = None  # None | "absmax" | "full"
     compute_dtype: Optional[Any] = None
     layer_id: Optional[int] = None  # reference layer index, for calib dumps
+    frozen_weights: bool = False  # kernel already holds Q(w/Kw) (inference)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -91,7 +92,10 @@ class QuantConv(nn.Module):
             _sow_absmax(self, "w", kernel)
 
         input_q = sfp.quantize_act(x / ka, self.qbit)
-        weight_q = sfp.quantize_weight(kernel / kw, self.qbit)
+        if self.frozen_weights:
+            weight_q = kernel  # pre-quantized offline (ops.freeze)
+        else:
+            weight_q = sfp.quantize_weight(kernel / kw, self.qbit)
         if self.capture == "full":
             self.sow("intermediates", "input_q", input_q)
             self.sow("intermediates", "weight_q", weight_q)
@@ -114,6 +118,10 @@ class QuantConv(nn.Module):
             # conv2d_func.py:44: bias_q = b/(Ka*Kw) added pre-scale.
             y = y + bias / (ka * kw)
         y = y * (ka * kw)
+        if self.compute_dtype is not None:
+            # keep the activation stream in the compute dtype end-to-end
+            # (HBM traffic halves; the cast fuses into the conv epilogue)
+            y = y.astype(self.compute_dtype)
         if self.capture == "absmax":
             _sow_absmax(self, "out", y)
         return y
@@ -130,6 +138,7 @@ class QuantDense(nn.Module):
     capture: Optional[str] = None
     compute_dtype: Optional[Any] = None
     layer_id: Optional[int] = None
+    frozen_weights: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -150,7 +159,10 @@ class QuantDense(nn.Module):
             _sow_absmax(self, "w", kernel)
 
         input_q = sfp.quantize_act(x / ka, self.qbit)
-        weight_q = sfp.quantize_weight(kernel / kw, self.qbit)
+        if self.frozen_weights:
+            weight_q = kernel
+        else:
+            weight_q = sfp.quantize_weight(kernel / kw, self.qbit)
         if self.capture == "full":
             self.sow("intermediates", "input_q", input_q)
             self.sow("intermediates", "weight_q", weight_q)
@@ -163,6 +175,8 @@ class QuantDense(nn.Module):
         if bias is not None:
             y = y + bias / (ka * kw)
         y = y * (ka * kw)
+        if self.compute_dtype is not None:
+            y = y.astype(self.compute_dtype)
         if self.capture == "absmax":
             _sow_absmax(self, "out", y)
         return y
