@@ -52,7 +52,10 @@ def _matmul_kernel(x_ref, w_ref, b_ref, o_ref, *, ka, kw, act, quantize_x):
         xq = slfp34_act_bits(x_ref[:] * np.float32(1.0 / ka))
     else:
         xq = x_ref[:]
-    wv = slfp34_decode_bits(w_ref[:])
+    if w_ref.dtype == jnp.uint8:
+        wv = slfp34_decode_bits(w_ref[:])
+    else:
+        wv = w_ref[:]  # pre-quantized float values
     y = jnp.dot(xq.astype(jnp.bfloat16), wv.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32)
     if b_ref is not None:

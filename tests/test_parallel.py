@@ -1,0 +1,75 @@
+"""Sharding correctness on the virtual 8-device CPU mesh (SURVEY.md §4e)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cnns_slfp_quantization_tpu import models
+from cnns_slfp_quantization_tpu.parallel import make_mesh, mesh as mesh_lib, steps
+from cnns_slfp_quantization_tpu.train import loop, optimizers
+
+
+@pytest.fixture(scope="module")
+def setup():
+    # fp32 model for numerical DP/TP-vs-single-device equivalence: at qbit=8
+    # the quantization cliffs amplify TP partial-sum rounding differences
+    # into bin flips, so exact equivalence only holds un-quantized.
+    model = models.create_model("mobilenet", 32)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (16, 32, 32, 3))
+    y = jnp.asarray(np.random.default_rng(0).integers(0, 100, 16), jnp.int32)
+    variables = model.init(rng, x, train=False)
+    tx = optimizers.dsgd(1e-3, 8)
+    return model, variables, tx, x, y, rng
+
+
+def _run_step(model, variables, tx, x, y, rng, mesh):
+    state = loop.TrainState.create(variables, tx)
+    train_step = loop.make_train_step(model, tx)
+    if mesh is None:
+        state, metrics = jax.jit(train_step)(state, x, y, rng)
+    else:
+        with mesh:
+            state = steps.shard_state(state, mesh)
+            xs, ys = steps.place_batch(mesh, x, y)
+            state, metrics = steps.jit_train_step(train_step, donate=False)(
+                state, xs, ys, rng)
+    return jax.device_get(state.params), jax.device_get(metrics)
+
+
+def test_dp_tp_step_matches_single_device(setup):
+    model, variables, tx, x, y, rng = setup
+    p_ref, m_ref = _run_step(model, variables, tx, x, y, rng, None)
+    mesh = make_mesh(model=2)  # 4x2 over the 8 fake devices
+    p_sh, m_sh = _run_step(model, variables, tx, x, y, rng, mesh)
+    np.testing.assert_allclose(m_sh["loss"], m_ref["loss"], rtol=1e-5)
+    flat_ref = jax.tree.leaves(p_ref)
+    flat_sh = jax.tree.leaves(p_sh)
+    for a, b in zip(flat_ref, flat_sh):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+
+
+def test_param_sharding_specs(setup):
+    model, variables, tx, *_ = setup
+    mesh = make_mesh(model=2)
+    shardings = mesh_lib.param_shardings(variables["params"], mesh)
+    # a conv kernel with 64 out-features should be model-sharded on O
+    spec = shardings["conv2"]["kernel"].spec
+    assert spec[-1] == "model"
+    # BN params follow the channel dim
+    assert shardings["bn2"]["scale"].spec[0] == "model"
+
+
+def test_data_parallel_eval_matches(setup):
+    model, variables, *_ = setup
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 32, 32, 3))
+    y = jnp.asarray(np.random.default_rng(1).integers(0, 100, 16), jnp.int32)
+    eval_step = loop.make_eval_step(model)
+    ref = jax.device_get(jax.jit(eval_step)(variables, x, y))
+    mesh = make_mesh(model=1)
+    with mesh:
+        xs, ys = steps.place_batch(mesh, x, y)
+        got = jax.device_get(steps.jit_eval_step(eval_step)(variables, xs, ys))
+    assert got["correct1"] == ref["correct1"]
+    assert got["correct5"] == ref["correct5"]

@@ -1,0 +1,109 @@
+"""Checkpointing, calibration persistence, activations, schedules, data."""
+
+import os
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cnns_slfp_quantization_tpu import calib, models
+from cnns_slfp_quantization_tpu.calib import calibrate as cal
+from cnns_slfp_quantization_tpu.data import synthetic, transforms
+from cnns_slfp_quantization_tpu.ops import activations as act_lib
+from cnns_slfp_quantization_tpu.train import checkpoint, loop, optimizers
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    m = models.create_model("mobilenet", 8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3))
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    path = str(tmp_path / "ckpt")
+    checkpoint.save(path, jax.device_get(v))
+    restored = checkpoint.restore(path)
+    for a, b in zip(jax.tree.leaves(v), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_calibration_save_load_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.setattr(calib, "_CONSTANTS_DIR", tmp_path)
+    calib.save_scales("testnet", [1.0, 2.0, 31.0], [0.5, 0.25, 1.0], 15.5)
+    ss = calib.load_scales("testnet")
+    np.testing.assert_allclose(ss.ka, np.asarray([1.0, 2.0, 31.0]) / 15.5)
+    np.testing.assert_allclose(ss.kw, np.asarray([0.5, 0.25, 1.0]) / 15.5)
+
+
+def test_calibrated_scales_recover_fp32_maxima():
+    ones = calib.ScaleSet.ones(28)
+    m = models.create_model("mobilenet", 32, scales=ones, capture="absmax")
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 32, 3))
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    res = cal.calibrate(m, v, [x], max_images=4)
+    assert set(res.input_absmax) == set(range(28))
+    assert res.input_absmax[0] == pytest.approx(float(jnp.max(jnp.abs(x))), rel=1e-6)
+    assert len(res.weight_absmax) == 28
+
+
+def test_stl_activation_matches_reference():
+    REF = "/root/reference"
+    if not os.path.isdir(REF):
+        pytest.skip("reference not mounted")
+    torch = pytest.importorskip("torch")
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    import importlib
+
+    ref = importlib.import_module("utils.activation_func")
+    x = np.linspace(-5, 5, 1001).astype(np.float32)
+    tx = torch.tensor(x, requires_grad=True)
+    ty = ref.STL()(tx)
+    ty.backward(torch.ones_like(ty) * 3.0)  # cotangent magnitude > 1
+    want_y = ty.detach().numpy()
+    want_g = tx.grad.numpy()
+
+    jx = jnp.asarray(x)
+    got_y, vjp = jax.vjp(act_lib.stl, jx)
+    (got_g,) = vjp(jnp.full_like(jx, 3.0))
+    np.testing.assert_allclose(np.asarray(got_y), want_y, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(got_g), want_g, rtol=1e-6, atol=1e-7)
+
+
+def test_multistep_lr():
+    sched = loop.multistep_lr(0.1, (2, 4), 0.1, steps_per_epoch=10)
+    assert sched(0) == pytest.approx(0.1)
+    assert sched(25) == pytest.approx(0.01)
+    assert sched(45) == pytest.approx(0.001)
+
+
+def test_training_reduces_loss_on_synthetic():
+    # end-to-end learnability: class-conditional synthetic data, SLFP8 QAT.
+    # Unit scales (random-init weights don't match the pretrained-model
+    # calibration constants) and plain SGD for a stable descent check.
+    m = models.create_model("mobilenet", 8, scales=calib.ScaleSet.ones(28))
+    it = synthetic.SyntheticIterator(num_classes=10, batch_size=32,
+                                     num_batches=20, seed=0)
+    x0, y0 = next(iter(it))
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray(x0), train=False)
+    tx = optimizers.sgd(0.02, momentum=0.9, weight_decay=0.0)
+    state = loop.TrainState.create(v, tx)
+    step = jax.jit(loop.make_train_step(m, tx))
+    losses = []
+    for i, (xb, yb) in enumerate(it):
+        state, metrics = step(state, jnp.asarray(xb), jnp.asarray(yb),
+                              jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
+
+
+def test_imgnet_eval_transform_shapes():
+    from PIL import Image
+
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (300, 400, 3), np.uint8))
+    out = transforms.imgnet_eval_pil(img)
+    assert out.shape == (224, 224, 3)
+    rng = np.random.default_rng(1)
+    out2 = transforms.imgnet_train_pil(img, rng)
+    assert out2.shape == (224, 224, 3)
