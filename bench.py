@@ -30,27 +30,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def scan_throughput(model, variables, x0, *, steps: int = 16) -> float:
-    """images/sec over `steps` chained forward passes (one dispatch)."""
-
-    @jax.jit
-    def run(variables, x0):
-        def body(acc, i):
-            # per-step input perturbation prevents XLA from CSE-ing the
-            # loop-invariant forward
-            y = model.apply(
-                variables, x0 * (1.0 + i.astype(jnp.float32) * 1e-6),
-                train=False)
-            return acc + jnp.sum(y.astype(jnp.float32)), None
-
-        acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(steps))
-        return acc
-
-    float(run(variables, x0))  # compile + warm
-    t0 = time.perf_counter()
-    float(run(variables, x0))  # host fetch of the scalar forces completion
-    dt = time.perf_counter() - t0
-    return x0.shape[0] * steps / dt
+from cnns_slfp_quantization_tpu.utils.profiling import scan_throughput  # noqa: E402
 
 
 def main():

@@ -68,6 +68,21 @@ class QuantConv(nn.Module):
     compute_dtype: Optional[Any] = None
     layer_id: Optional[int] = None  # reference layer index, for calib dumps
     frozen_weights: bool = False  # kernel already holds Q(w/Kw) (inference)
+    use_pallas: Optional[bool] = None  # None = auto (1x1 bf16 SLFP8 path)
+
+    def _pallas_eligible(self) -> bool:
+        if self.use_pallas is False:
+            return False
+        kh, kw_ = self.kernel_size
+        pad = self.padding
+        pad_zero = pad in (0, (0, 0)) or pad == ((0, 0), (0, 0))
+        shape_ok = (self.qbit == 8 and kh == kw_ == 1
+                    and self.feature_group_count == 1 and pad_zero
+                    and self.capture is None)
+        want = (self.use_pallas is True
+                or (self.use_pallas is None
+                    and self.compute_dtype == jnp.bfloat16))
+        return shape_ok and want
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -91,11 +106,26 @@ class QuantConv(nn.Module):
             _sow_absmax(self, "in", x)
             _sow_absmax(self, "w", kernel)
 
-        input_q = sfp.quantize_act(x / ka, self.qbit)
         if self.frozen_weights:
             weight_q = kernel  # pre-quantized offline (ops.freeze)
         else:
             weight_q = sfp.quantize_weight(kernel / kw, self.qbit)
+
+        if self._pallas_eligible():
+            # Fused Pallas path: quantize-in-VMEM + MXU dot + scaled epilogue
+            # (kernels/fused_matmul.py); numerically equivalent to the XLA
+            # path below (quantizers f32-exact, bf16 dot, f32 accumulate).
+            from cnns_slfp_quantization_tpu.kernels import fused_matmul
+
+            y = fused_matmul.quant_conv1x1(
+                x, weight_q.reshape(weight_q.shape[-2], weight_q.shape[-1]),
+                ka=float(ka), kw=float(kw), bias=bias,
+                stride=tuple(self.strides)[0],
+                out_dtype=self.compute_dtype or jnp.float32,
+            )
+            return y
+
+        input_q = sfp.quantize_act(x / ka, self.qbit)
         if self.capture == "full":
             self.sow("intermediates", "input_q", input_q)
             self.sow("intermediates", "weight_q", weight_q)
@@ -139,6 +169,7 @@ class QuantDense(nn.Module):
     compute_dtype: Optional[Any] = None
     layer_id: Optional[int] = None
     frozen_weights: bool = False
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -158,11 +189,22 @@ class QuantDense(nn.Module):
             _sow_absmax(self, "in", x)
             _sow_absmax(self, "w", kernel)
 
-        input_q = sfp.quantize_act(x / ka, self.qbit)
         if self.frozen_weights:
             weight_q = kernel
         else:
             weight_q = sfp.quantize_weight(kernel / kw, self.qbit)
+
+        pallas_ok = (self.use_pallas is not False and self.qbit == 8
+                     and self.capture is None
+                     and self.compute_dtype == jnp.bfloat16)
+        if pallas_ok or self.use_pallas:
+            from cnns_slfp_quantization_tpu.kernels import fused_matmul
+
+            return fused_matmul.quant_dense(
+                x, weight_q, ka=float(ka), kw=float(kw), bias=bias,
+                out_dtype=self.compute_dtype or jnp.float32)
+
+        input_q = sfp.quantize_act(x / ka, self.qbit)
         if self.capture == "full":
             self.sow("intermediates", "input_q", input_q)
             self.sow("intermediates", "weight_q", weight_q)

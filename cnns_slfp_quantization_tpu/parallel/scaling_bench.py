@@ -1,0 +1,85 @@
+"""Data-parallel scaling benchmark: images/sec at 1..N devices.
+
+The north-star scaling run (BASELINE.json: >=90% linear images/sec from
+1 chip to N hosts): shard the batch over a growing 'data' mesh with
+TP-sharded weights and measure sharded inference throughput per device
+count.  On real hardware this measures ICI scaling; under
+``--xla_force_host_platform_device_count=N`` it validates the mechanism and
+the collective layout without chips.
+
+    python -m cnns_slfp_quantization_tpu.parallel.scaling_bench \
+        --net mobilenet --devices 1 2 4 8 --per_device_batch 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+
+from cnns_slfp_quantization_tpu import models
+from cnns_slfp_quantization_tpu.parallel import make_mesh, steps
+from cnns_slfp_quantization_tpu.utils.profiling import scan_throughput
+
+
+class _ShardedForward:
+    """model.apply wrapper that keeps the batch sharded over the mesh."""
+
+    def __init__(self, model, mesh):
+        self.model = model
+        self.mesh = mesh
+
+    def apply(self, variables, x, train=False):
+        return self.model.apply(variables, x, train=train)
+
+
+def run(net: str, device_counts, per_device_batch: int, image_size: int,
+        qbit: int = 8, model_axis: int = 1):
+    results = {}
+    for n in device_counts:
+        if n > len(jax.devices()):
+            break
+        mesh = make_mesh(data=n // model_axis, model=model_axis,
+                         devices=jax.devices()[:n])
+        model = models.create_model(net, qbit)
+        rng = jax.random.PRNGKey(0)
+        batch = per_device_batch * (n // model_axis)
+        x = jax.random.normal(rng, (batch, image_size, image_size, 3))
+        variables = model.init(rng, x[:1], train=False)
+        with mesh:
+            variables = jax.device_put(
+                variables,
+                jax.tree.map(lambda _: steps.mesh_lib.replicated(mesh),
+                             variables))
+            xs = jax.device_put(
+                x, steps.mesh_lib.batch_sharding(mesh, x.ndim))
+            ips = scan_throughput(_ShardedForward(model, mesh), variables,
+                                  xs, steps=8)
+        results[n] = ips
+    base = results.get(device_counts[0])
+    report = []
+    for n, ips in results.items():
+        eff = ips / (base * n / device_counts[0]) if base else float("nan")
+        report.append({"devices": n, "images_per_sec": round(ips, 1),
+                       "scaling_efficiency": round(eff, 3)})
+    return report
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--net", default="mobilenet")
+    p.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
+    p.add_argument("--per_device_batch", type=int, default=32)
+    p.add_argument("--image_size", type=int, default=32)
+    p.add_argument("--Qbits", type=int, default=8)
+    p.add_argument("--model_axis", type=int, default=1)
+    cfg = p.parse_args(argv)
+    for row in run(cfg.net, cfg.devices, cfg.per_device_batch,
+                   cfg.image_size, cfg.Qbits, cfg.model_axis):
+        print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()

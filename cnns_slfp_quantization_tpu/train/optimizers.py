@@ -24,7 +24,7 @@ uses ``g + m*buf``.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Union
+from typing import Any, Callable, NamedTuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +38,11 @@ ScalarOrSchedule = Union[float, Callable]
 class QSGDState(NamedTuple):
     count: jnp.ndarray
     momentum: optax.Updates
+    # DSGD update statistics (reference globals.py / optimizer.py:65-66):
+    # cumulative number of parameters whose quantized value moved ("updated",
+    # scale==0) vs stayed in-bin and got the double step ("stuck", scale==2).
+    # None unless track_stats=True.
+    stats: Any = None
 
 
 def _lr_at(lr: ScalarOrSchedule, count):
@@ -63,13 +68,19 @@ def _qsgd(
     weight_decay: float,
     nesterov: bool,
     rescale,  # fn(p, delta1, quantize) -> extra scale array (0 => no extra step)
+    track_stats: bool = False,
 ) -> optax.GradientTransformation:
     quantize = lambda w: sfp.quantize_weight(w, qbit)
 
     def init(params):
+        stats = (
+            {"updated": jnp.zeros([], jnp.float32),
+             "stuck": jnp.zeros([], jnp.float32)}
+            if track_stats else None)
         return QSGDState(
             count=jnp.zeros([], jnp.int32),
             momentum=jax.tree.map(jnp.zeros_like, params),
+            stats=stats,
         )
 
     def update(updates, state, params=None):
@@ -82,14 +93,21 @@ def _qsgd(
                 g, p, buf, momentum, dampening, nesterov, weight_decay)
             delta1 = -lr_t * d  # the ordinary SGD update (optimizer.py:59)
             scale = rescale(p, delta1, quantize)
-            return delta1 * (1.0 + scale), new_buf
+            return delta1 * (1.0 + scale), new_buf, scale
 
+        is_triple = lambda t: isinstance(t, tuple) and len(t) == 3
         flat = jax.tree.map(per_param, updates, params, state.momentum)
-        new_updates = jax.tree.map(lambda t: t[0], flat,
-                                   is_leaf=lambda t: isinstance(t, tuple))
-        new_momentum = jax.tree.map(lambda t: t[1], flat,
-                                    is_leaf=lambda t: isinstance(t, tuple))
-        return new_updates, QSGDState(state.count + 1, new_momentum)
+        new_updates = jax.tree.map(lambda t: t[0], flat, is_leaf=is_triple)
+        new_momentum = jax.tree.map(lambda t: t[1], flat, is_leaf=is_triple)
+        stats = state.stats
+        if track_stats:
+            scales = jax.tree.leaves(
+                jax.tree.map(lambda t: t[2], flat, is_leaf=is_triple))
+            updated = sum(jnp.sum((s == 0.0).astype(jnp.float32)) for s in scales)
+            stuck = sum(jnp.sum((s == 2.0).astype(jnp.float32)) for s in scales)
+            stats = {"updated": state.stats["updated"] + updated,
+                     "stuck": state.stats["stuck"] + stuck}
+        return new_updates, QSGDState(state.count + 1, new_momentum, stats)
 
     return optax.GradientTransformation(init, update)
 
@@ -102,15 +120,22 @@ def dsgd(
     weight_decay: float = 5e-4,
     nesterov: bool = False,
     tol: float = 1e-4,
+    track_stats: bool = False,
 ) -> optax.GradientTransformation:
     """DSGD: 2x extra step where the quantized weight didn't move
-    (optimizer.py:58-64; tolerance 1e-4 at :62-63)."""
+    (optimizer.py:58-64; tolerance 1e-4 at :62-63).
+
+    ``track_stats=True`` accumulates the updated/stuck parameter counts the
+    reference tallies in globals.py (commented at optimizer.py:65-66) into
+    the optimizer state.
+    """
 
     def rescale(p, delta1, quantize):
         moved = jnp.abs(quantize(p) - quantize(p + delta1))
         return jnp.where(moved < tol, 2.0, 0.0)
 
-    return _qsgd(lr, qbit, momentum, dampening, weight_decay, nesterov, rescale)
+    return _qsgd(lr, qbit, momentum, dampening, weight_decay, nesterov,
+                 rescale, track_stats=track_stats)
 
 
 def ssgd(
