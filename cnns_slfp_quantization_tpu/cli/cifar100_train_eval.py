@@ -36,6 +36,7 @@ def make_parser():
 
 def main(argv=None):
     cfg = make_parser().parse_args(argv)
+    common.configure_runtime(cfg)
     log_dir = os.path.join(cfg.root_dir, "logs", cfg.log_name)
     ckpt_dir = os.path.join(cfg.root_dir, "ckpt", cfg.log_name)
     os.makedirs(log_dir, exist_ok=True)

@@ -55,9 +55,25 @@ def add_common_args(parser):
                         help="data-parallel mesh size (0 = single device)")
     parser.add_argument("--mesh_model", type=int, default=1,
                         help="tensor-parallel mesh size")
+    parser.add_argument("--debug_nans", action="store_true", default=False,
+                        help="enable jax_debug_nans (SURVEY.md §5 sanitizer)")
+    parser.add_argument("--jax_cache", type=str, default="/tmp/jax_cache",
+                        help="persistent compilation cache dir ('' disables)")
     # accepted for reference-CLI parity; GPU pinning is meaningless on TPU
     parser.add_argument("--use_gpu", type=str, default="0")
     parser.add_argument("--cluster", action="store_true", default=False)
+
+
+def configure_runtime(cfg) -> None:
+    import os as _os
+
+    if getattr(cfg, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
+    cache = getattr(cfg, "jax_cache", "")
+    if cache:
+        _os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def build_model(cfg, net: str, image_size: int):

@@ -75,18 +75,27 @@ def fused_quant_matmul(
     bias: Optional[jax.Array] = None,
     act: Optional[Callable] = None,
     quantize_x: bool = True,
-    bm: int = 512,
-    bn: int = 512,
+    bm: int = 256,
+    bn: Optional[int] = None,
     out_dtype=jnp.float32,
 ) -> jax.Array:
     """``act((Q_a(x/ka) @ decode(w_codes)) * ka * kw + bias)``.
 
-    x: [M, K] float; w_codes: [K, N] uint8 SLFP<3,4> codes.
+    x: [M, K] float; w_codes: [K, N] uint8 SLFP<3,4> codes (or float values).
+
+    Blocking: grid is (N-tiles, M-tiles) with the M axis innermost, so each
+    weight column tile is DMA'd to VMEM once and stays resident while the
+    activation rows stream past it (weight-stationary); ``bn`` defaults to
+    the whole N when the weight tile fits the VMEM budget.
     """
     M, K = x.shape
     K2, N = w_codes.shape
     assert K == K2, (K, K2)
     bm = min(bm, max(8, M))
+    if bn is None:
+        w_bytes = 1 if w_codes.dtype == jnp.uint8 else 4
+        budget = 6 * 1024 * 1024  # leave room for x/out double buffers
+        bn = max(128, min(N, budget // max(1, K * w_bytes) // 128 * 128))
     bn = min(bn, max(128, N))
     Mp, Np = _cdiv(M, bm) * bm, _cdiv(N, bn) * bn
     if Mp != M:
@@ -102,13 +111,13 @@ def fused_quant_matmul(
         _matmul_kernel, ka=float(ka), kw=float(kw), act=act,
         quantize_x=quantize_x)
     in_specs = [
-        pl.BlockSpec((bm, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((K, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bm, K), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
     ]
     args = [x, w_codes]
     if bias is not None:
         in_specs.append(
-            pl.BlockSpec((1, bn), lambda i, j: (0, j),
+            pl.BlockSpec((1, bn), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM))
         args.append(bias)
     else:
@@ -117,13 +126,13 @@ def fused_quant_matmul(
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Mp, Np), out_dtype),
-        grid=(Mp // bm, Np // bn),
+        grid=(Np // bn, Mp // bm),  # M innermost: weight-stationary
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((bm, bn), lambda j, i: (i, j),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * K * Np,
-            bytes_accessed=Mp * K * 4 + K * Np + Mp * Np * 4,
+            bytes_accessed=Mp * K * 4 * (Np // bn) + K * Np + Mp * Np * 4,
             transcendentals=0,
         ),
     )(*args)
@@ -134,20 +143,64 @@ def kernel_no_bias(inner, x_ref, w_ref, o_ref):
     inner(x_ref, w_ref, None, o_ref)
 
 
+def _diff_matmul(ka, kw, out_dtype):
+    """Differentiable wrapper: Pallas forward, analytic STE backward.
+
+    The forward (bitcasts + pallas_call) is not autodiff-able; the backward
+    follows the reference semantics: y = (Q_a(x/ka) @ w_q [+ b/(ka*kw)]) *
+    ka*kw with identity-STE through Q_a, so dy/dx = kw * (g @ w_q^T),
+    dy/dw_q = ka * (Q_a(x/ka)^T @ g) * kw ... expressed with the bf16 cast
+    the MXU uses.  Weight-quantization STE happens upstream (the caller
+    passes w_q = Q_w(kernel/kw) built with its own custom_vjp).
+    """
+
+    @jax.custom_vjp
+    def op(x, w_values, bias):
+        return fused_quant_matmul(x, w_values, ka=ka, kw=kw, bias=bias,
+                                  out_dtype=out_dtype)
+
+    def fwd(x, w_values, bias):
+        y = op(x, w_values, bias)
+        return y, (x, w_values)
+
+    def bwd(res, g):
+        x, w_values = res
+        gf = g.astype(jnp.float32)
+        dx = (gf @ w_values.astype(jnp.float32).T) * np.float32(kw)
+        xq = slfp34_act_bits(x * np.float32(1.0 / ka))
+        dw = (xq.T @ gf) * np.float32(ka * kw)
+        db = jnp.sum(gf, axis=0)  # bias enters as b/(ka*kw) * ka*kw = b
+        return dx.astype(x.dtype), dw.astype(w_values.dtype), db
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
 def quant_dense(x, w_codes, *, ka, kw, bias=None, act=None, **kw_args):
-    """Dense layer on packed weights; x: [..., K]."""
+    """Dense layer on packed/pre-quantized weights; x: [..., K].
+
+    Differentiable (STE backward) when weights are float values; uint8
+    codes are inference-only.
+    """
     lead = x.shape[:-1]
-    y = fused_quant_matmul(x.reshape(-1, x.shape[-1]), w_codes, ka=ka, kw=kw,
-                           bias=bias, act=act, **kw_args)
+    x2 = x.reshape(-1, x.shape[-1])
+    if w_codes.dtype != jnp.uint8 and act is None:
+        out_dtype = kw_args.get("out_dtype", jnp.float32)
+        b = bias if bias is not None else jnp.zeros(
+            (w_codes.shape[-1],), jnp.float32)
+        y = _diff_matmul(float(ka), float(kw), out_dtype)(x2, w_codes, b)
+    else:
+        y = fused_quant_matmul(x2, w_codes, ka=ka, kw=kw, bias=bias,
+                               act=act, **kw_args)
     return y.reshape(*lead, y.shape[-1])
 
 
 def quant_conv1x1(x_nhwc, w_codes, *, ka, kw, bias=None, act=None,
                   stride: int = 1, **kw_args):
-    """1x1 convolution on packed weights; w_codes: [Cin, Cout]."""
+    """1x1 convolution on packed/pre-quantized weights; w_codes: [Cin, Cout]."""
     if stride != 1:
         x_nhwc = x_nhwc[:, ::stride, ::stride, :]
     b, h, w, c = x_nhwc.shape
-    y = fused_quant_matmul(x_nhwc.reshape(-1, c), w_codes, ka=ka, kw=kw,
-                           bias=bias, act=act, **kw_args)
+    y = quant_dense(x_nhwc.reshape(-1, c), w_codes, ka=ka, kw=kw, bias=bias,
+                    act=act, **kw_args)
     return y.reshape(b, h, w, -1)

@@ -14,13 +14,8 @@ import jax
 import jax.numpy as jnp
 
 
-def prequantize_variables(model_capture_full, variables, sample_input):
-    """Return variables with every quant kernel replaced by Q(kernel/Kw).
-
-    ``model_capture_full`` must be the same architecture constructed with
-    ``capture="full"``.  Non-quantized kernels (plain nn.Dense/nn.Conv) are
-    left untouched.
-    """
+def _map_quant_kernels(model_capture_full, variables, sample_input, fn):
+    """Replace every quant-layer kernel with ``fn(weight_q, old_kernel)``."""
     _, inter = model_capture_full.apply(
         variables, sample_input, train=False, mutable=["intermediates"])
     inter = inter["intermediates"]
@@ -34,7 +29,7 @@ def prequantize_variables(model_capture_full, variables, sample_input):
                     new = dict(v)
                     wq = cap["weight_q"]
                     wq = wq[0] if isinstance(wq, tuple) else wq
-                    new["kernel"] = jnp.asarray(wq, v["kernel"].dtype)
+                    new["kernel"] = fn(wq, v["kernel"])
                     out[k] = new
                 else:
                     out[k] = walk(v, cap if isinstance(cap, dict) else {})
@@ -42,7 +37,34 @@ def prequantize_variables(model_capture_full, variables, sample_input):
                 out[k] = v
         return out
 
-    new_params = walk(variables["params"], inter)
     out = dict(variables)
-    out["params"] = new_params
+    out["params"] = walk(variables["params"], inter)
     return out
+
+
+def prequantize_variables(model_capture_full, variables, sample_input):
+    """Return variables with every quant kernel replaced by Q(kernel/Kw).
+
+    ``model_capture_full`` must be the same architecture constructed with
+    ``capture="full"``.  Non-quantized kernels (plain nn.Dense/nn.Conv) are
+    left untouched.  Use with ``frozen_weights=True`` models; outputs are
+    bit-identical to the QAT-path forward.
+    """
+    return _map_quant_kernels(
+        model_capture_full, variables, sample_input,
+        lambda wq, old: jnp.asarray(wq, old.dtype))
+
+
+def pack_variables(model_capture_full, variables, sample_input):
+    """Return variables with every quant kernel stored as uint8 SLFP codes.
+
+    Real 8-bit weight storage (4x less HBM): a ``frozen_weights=True`` model
+    decodes codes on use — in VMEM inside the fused Pallas kernels for
+    1x1/dense layers, via the jnp decode for spatial convs.  SLFP8 models
+    only (the pack targets the SLFP<3,4> code space).
+    """
+    from cnns_slfp_quantization_tpu.ops import sfp
+
+    return _map_quant_kernels(
+        model_capture_full, variables, sample_input,
+        lambda wq, old: sfp.pack_slfp34(wq))

@@ -106,15 +106,16 @@ class QuantConv(nn.Module):
             _sow_absmax(self, "in", x)
             _sow_absmax(self, "w", kernel)
 
+        packed = kernel.dtype == jnp.uint8  # ops.freeze.pack_variables
         if self.frozen_weights:
-            weight_q = kernel  # pre-quantized offline (ops.freeze)
+            weight_q = kernel  # pre-quantized (and possibly packed) offline
         else:
             weight_q = sfp.quantize_weight(kernel / kw, self.qbit)
 
         if self._pallas_eligible():
-            # Fused Pallas path: quantize-in-VMEM + MXU dot + scaled epilogue
-            # (kernels/fused_matmul.py); numerically equivalent to the XLA
-            # path below (quantizers f32-exact, bf16 dot, f32 accumulate).
+            # Fused Pallas path: quantize-in-VMEM (+ uint8 weight decode) +
+            # MXU dot + scaled epilogue (kernels/fused_matmul.py);
+            # numerically equivalent to the XLA path below.
             from cnns_slfp_quantization_tpu.kernels import fused_matmul
 
             y = fused_matmul.quant_conv1x1(
@@ -124,6 +125,8 @@ class QuantConv(nn.Module):
                 out_dtype=self.compute_dtype or jnp.float32,
             )
             return y
+        if packed:
+            weight_q = sfp.unpack_slfp34(kernel)
 
         input_q = sfp.quantize_act(x / ka, self.qbit)
         if self.capture == "full":
@@ -189,6 +192,7 @@ class QuantDense(nn.Module):
             _sow_absmax(self, "in", x)
             _sow_absmax(self, "w", kernel)
 
+        packed = kernel.dtype == jnp.uint8
         if self.frozen_weights:
             weight_q = kernel
         else:
@@ -203,6 +207,8 @@ class QuantDense(nn.Module):
             return fused_matmul.quant_dense(
                 x, weight_q, ka=float(ka), kw=float(kw), bias=bias,
                 out_dtype=self.compute_dtype or jnp.float32)
+        if packed:
+            weight_q = sfp.unpack_slfp34(kernel)
 
         input_q = sfp.quantize_act(x / ka, self.qbit)
         if self.capture == "full":

@@ -20,3 +20,22 @@ def test_prequantized_forward_identical():
     m_frozen = models.create_model("mobilenet", 8, frozen_weights=True)
     got = np.asarray(m_frozen.apply(v_frozen, x, train=False))
     np.testing.assert_array_equal(got, want)
+
+
+def test_packed_uint8_forward_close():
+    # Real uint8 weight storage: decode-on-use must match the QAT forward
+    # except for the clamp-literal codes (1.4e-7 relative).
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 32, 32, 3))
+    m = models.create_model("mobilenet", 8)
+    v = m.init(rng, x, train=False)
+    want = np.asarray(m.apply(v, x, train=False))
+
+    cap = models.create_model("mobilenet", 8, capture="full")
+    v_packed = freeze.pack_variables(cap, v, x[:1])
+    kernels = [p for p in jax.tree.leaves(v_packed["params"])
+               if p.dtype == jnp.uint8]
+    assert len(kernels) == 28  # every quant layer stored as codes
+    m_frozen = models.create_model("mobilenet", 8, frozen_weights=True)
+    got = np.asarray(m_frozen.apply(v_packed, x, train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

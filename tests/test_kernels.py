@@ -46,7 +46,7 @@ def test_decode_bits_matches_unpack():
 def test_pallas_quantize_kernel_interpret():
     x = jnp.asarray(_rand(40_000)).reshape(50, 800)
     with pltpu.force_tpu_interpret_mode():
-        got = np.asarray(quantize.slfp34_act_quantize(x, block=4096))
+        got = np.asarray(quantize.slfp34_act_quantize(x, block_rows=8))
     want = np.asarray(sfp.quantize_act(x, 8))
     np.testing.assert_array_equal(got, want)
 
@@ -91,3 +91,31 @@ def test_conv1x1_wrapper_interpret():
     want = jnp.einsum("bhwc,cd->bhwd", xq, wv,
                       preferred_element_type=jnp.float32) * (0.5 * kw)
     np.testing.assert_allclose(y, np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_dense_custom_vjp_ste():
+    # Differentiable fused path: gradients must follow the reference STE
+    # semantics (d/dx of Q_a(x/ka)@wq*ka*kw = kw * wq^T under identity STE).
+    rng = np.random.default_rng(9)
+    M, K, N = 32, 64, 48
+    ka, kw = 0.5, 0.1
+    x = jnp.asarray(rng.normal(0, 1, (M, K)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.05, (K, N)).astype(np.float32))
+    wq = sfp.quantize_weight(w / kw, 8)
+    bias = jnp.asarray(rng.normal(0, 0.1, (N,)).astype(np.float32))
+
+    with pltpu.force_tpu_interpret_mode():
+        def f(x, wq, b):
+            return jnp.sum(fused_matmul.quant_dense(
+                x, wq, ka=ka, kw=kw, bias=b) ** 2)
+
+        y, grads = jax.value_and_grad(f, argnums=(0, 1, 2))(x, wq, bias)
+        out = fused_matmul.quant_dense(x, wq, ka=ka, kw=kw, bias=bias)
+    g = 2 * out  # d(sum y^2)/dy
+    want_dx = np.asarray((g.astype(jnp.float32) @ wq.T) * kw)
+    xq = sfp.quantize_act(x / ka, 8)
+    want_dw = np.asarray((xq.T @ g.astype(jnp.float32)) * (ka * kw))
+    want_db = np.asarray(jnp.sum(g, axis=0))
+    np.testing.assert_allclose(np.asarray(grads[0]), want_dx, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(grads[1]), want_dw, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(grads[2]), want_db, rtol=1e-4, atol=1e-4)
