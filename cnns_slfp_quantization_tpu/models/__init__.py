@@ -25,6 +25,7 @@ def create_model(
     scales: Optional[calib.ScaleSet] = None,
     num_classes: Optional[int] = None,
     frozen_weights: bool = False,
+    use_pallas: Optional[bool] = None,
 ):
     """Build a model by reference driver name (see module docstring)."""
     from cnns_slfp_quantization_tpu.models import mobilenetv1
@@ -32,6 +33,7 @@ def create_model(
     common = dict(qbit=qbit, capture=capture, compute_dtype=compute_dtype)
     if name not in ("inceptionv3", "imgnet/inceptionv3"):
         common["frozen_weights"] = frozen_weights
+        common["use_pallas"] = use_pallas
 
     if name in ("mobilenet", "cifar/mobilenet"):
         return mobilenetv1.MobileNetV1(

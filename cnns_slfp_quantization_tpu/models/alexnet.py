@@ -25,6 +25,7 @@ class AlexNet(nn.Module):
     capture: Optional[str] = None
     compute_dtype: Optional[Any] = None
     frozen_weights: bool = False
+    use_pallas: "bool | None" = None
 
     def _conv(self, sid, features, kernel, stride=1, pad=0):
         return QuantConv(
@@ -32,7 +33,7 @@ class AlexNet(nn.Module):
             ka=float(self.scales.ka[sid]), kw=float(self.scales.kw[sid]),
             strides=(stride, stride), padding=pad, use_bias=True,
             capture=self.capture, compute_dtype=self.compute_dtype,
-            frozen_weights=self.frozen_weights, layer_id=sid, name=f"conv{sid}",
+            frozen_weights=self.frozen_weights, use_pallas=self.use_pallas, layer_id=sid, name=f"conv{sid}",
         )
 
     def _fc(self, sid, features, name):
@@ -40,7 +41,7 @@ class AlexNet(nn.Module):
             features=features, qbit=self.qbit,
             ka=float(self.scales.ka[sid]), kw=float(self.scales.kw[sid]),
             capture=self.capture, compute_dtype=self.compute_dtype,
-            frozen_weights=self.frozen_weights, layer_id=sid, name=name,
+            frozen_weights=self.frozen_weights, use_pallas=self.use_pallas, layer_id=sid, name=name,
         )
 
     @nn.compact

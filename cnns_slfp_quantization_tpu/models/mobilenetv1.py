@@ -48,6 +48,7 @@ class MobileNetV1(nn.Module):
     capture: Optional[str] = None
     compute_dtype: Optional[Any] = None
     frozen_weights: bool = False
+    use_pallas: "bool | None" = None
 
     def _conv(self, i, features, kernel, stride, groups=1, pad=1):
         return QuantConv(
@@ -55,7 +56,7 @@ class MobileNetV1(nn.Module):
             ka=float(self.scales.ka[i]), kw=float(self.scales.kw[i]),
             strides=(stride, stride), padding=pad, feature_group_count=groups,
             use_bias=False, capture=self.capture, compute_dtype=self.compute_dtype,
-            frozen_weights=self.frozen_weights, layer_id=i, name=f"conv{i}",
+            frozen_weights=self.frozen_weights, use_pallas=self.use_pallas, layer_id=i, name=f"conv{i}",
         )
 
     def _bn(self, i):
@@ -86,7 +87,7 @@ class MobileNetV1(nn.Module):
                 features=self.num_classes, qbit=self.qbit,
                 ka=float(self.scales.ka[27]), kw=float(self.scales.kw[27]),
                 capture=self.capture, compute_dtype=self.compute_dtype,
-                frozen_weights=self.frozen_weights,
+                frozen_weights=self.frozen_weights, use_pallas=self.use_pallas,
                 layer_id=27, name="fc",
             )(x)
         else:

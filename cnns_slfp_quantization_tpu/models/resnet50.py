@@ -40,6 +40,7 @@ class ResNet50(nn.Module):
     capture: Optional[str] = None
     compute_dtype: Optional[Any] = None
     frozen_weights: bool = False
+    use_pallas: "bool | None" = None
 
     def _conv(self, sid, features, kernel, stride=1, pad=0, name=""):
         return QuantConv(
@@ -47,7 +48,7 @@ class ResNet50(nn.Module):
             ka=float(self.scales.ka[sid]), kw=float(self.scales.kw[sid]),
             strides=(stride, stride), padding=pad, use_bias=False,
             capture=self.capture, compute_dtype=self.compute_dtype,
-            frozen_weights=self.frozen_weights, layer_id=sid, name=name,
+            frozen_weights=self.frozen_weights, use_pallas=self.use_pallas, layer_id=sid, name=name,
         )
 
     def _bn(self, name):
@@ -91,6 +92,6 @@ class ResNet50(nn.Module):
             features=self.num_classes, qbit=self.qbit,
             ka=float(self.scales.ka[53]), kw=float(self.scales.kw[53]),
             capture=self.capture, compute_dtype=self.compute_dtype,
-            frozen_weights=self.frozen_weights, layer_id=53, name="fc",
+            frozen_weights=self.frozen_weights, use_pallas=self.use_pallas, layer_id=53, name="fc",
         )(x)
         return x

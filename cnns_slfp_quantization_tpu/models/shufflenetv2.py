@@ -50,6 +50,7 @@ class ShuffleUnit(nn.Module):
     capture: Optional[str] = None
     compute_dtype: Optional[Any] = None
     frozen_weights: bool = False
+    use_pallas: "bool | None" = None
 
     def _conv(self, sid, features, kernel, stride=1, groups=1, pad=0, name=""):
         return QuantConv(
@@ -57,7 +58,7 @@ class ShuffleUnit(nn.Module):
             ka=float(self.scales.ka[sid]), kw=float(self.scales.kw[sid]),
             strides=(stride, stride), padding=pad, feature_group_count=groups,
             use_bias=False, capture=self.capture, compute_dtype=self.compute_dtype,
-            frozen_weights=self.frozen_weights, layer_id=sid, name=name,
+            frozen_weights=self.frozen_weights, use_pallas=self.use_pallas, layer_id=sid, name=name,
         )
 
     def _bn(self, name):
@@ -115,20 +116,22 @@ class ShuffleNetV2(nn.Module):
     capture: Optional[str] = None
     compute_dtype: Optional[Any] = None
     frozen_weights: bool = False
+    use_pallas: "bool | None" = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         out_ch = _STAGE_CHANNELS[self.ratio]
         common = dict(qbit=self.qbit, capture=self.capture,
                       compute_dtype=self.compute_dtype, scales=self.scales,
-                      frozen_weights=self.frozen_weights)
+                      frozen_weights=self.frozen_weights,
+                      use_pallas=self.use_pallas)
 
         # Stem: conv + BN only (reference :152-155)
         x = QuantConv(
             features=24, kernel_size=(3, 3), qbit=self.qbit,
             ka=float(self.scales.ka[0]), kw=float(self.scales.kw[0]),
             padding=1, use_bias=False, capture=self.capture,
-            compute_dtype=self.compute_dtype, frozen_weights=self.frozen_weights,
+            compute_dtype=self.compute_dtype, frozen_weights=self.frozen_weights, use_pallas=self.use_pallas,
             layer_id=0, name="pre_conv",
         )(x)
         x = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.compute_dtype, name="pre_bn")(
@@ -158,7 +161,7 @@ class ShuffleNetV2(nn.Module):
             features=out_ch[3], kernel_size=(1, 1), qbit=self.qbit,
             ka=float(self.scales.ka[55]), kw=float(self.scales.kw[55]),
             use_bias=False, capture=self.capture, compute_dtype=self.compute_dtype,
-            frozen_weights=self.frozen_weights, layer_id=55, name="conv5",
+            frozen_weights=self.frozen_weights, use_pallas=self.use_pallas, layer_id=55, name="conv5",
         )(x)
         x = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.compute_dtype, name="conv5_bn")(
             x, use_running_average=not train)
@@ -169,6 +172,6 @@ class ShuffleNetV2(nn.Module):
             features=self.num_classes, qbit=self.qbit,
             ka=float(self.scales.ka[56]), kw=float(self.scales.kw[56]),
             capture=self.capture, compute_dtype=self.compute_dtype,
-            frozen_weights=self.frozen_weights, layer_id=56, name="fc",
+            frozen_weights=self.frozen_weights, use_pallas=self.use_pallas, layer_id=56, name="fc",
         )(x)
         return x

@@ -35,6 +35,7 @@ class VGG16(nn.Module):
     capture: Optional[str] = None
     compute_dtype: Optional[Any] = None
     frozen_weights: bool = False
+    use_pallas: "bool | None" = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -50,7 +51,7 @@ class VGG16(nn.Module):
                     ka=float(self.scales.ka[i]), kw=float(self.scales.kw[i]),
                     padding=1, use_bias=use_bias, capture=self.capture,
                     compute_dtype=self.compute_dtype,
-                    frozen_weights=self.frozen_weights, layer_id=i, name=f"conv{i}",
+                    frozen_weights=self.frozen_weights, use_pallas=self.use_pallas, layer_id=i, name=f"conv{i}",
                 )(x)
                 x = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.compute_dtype, name=f"bn{i}")(
                     x, use_running_average=not train)
@@ -67,7 +68,7 @@ class VGG16(nn.Module):
                 features=features, qbit=self.qbit,
                 ka=float(self.scales.ka[sid]), kw=float(self.scales.kw[sid]),
                 capture=self.capture, compute_dtype=self.compute_dtype,
-                frozen_weights=self.frozen_weights, layer_id=sid, name=name,
+                frozen_weights=self.frozen_weights, use_pallas=self.use_pallas, layer_id=sid, name=name,
             )(x)
             if final:
                 return x

@@ -80,17 +80,8 @@ _LOG_BIN_BOUNDS = (
     2.0 ** ((np.arange(1, 17, dtype=np.float64) - 0.5) / 16.0)
 ).astype(np.float32)
 
-# Activation path: linear mantissa code j = round(m*16) - 16 (j = 0..16) is
-# then log-converted: ml_idx = round(log2(1 + j/16) * 16).  Precompose the
-# two tables so the runtime does a single mantissa lookup.
-_ACT_ML_IDX = np.around(
-    np.log2(1.0 + np.arange(17, dtype=np.float64) / 16.0) * 16.0
-).astype(np.int64)
-_ACT_M_TABLE = _EXP2_16[np.minimum(_ACT_ML_IDX, 16)]
-
-# Per-step increments for the branch-free masked-FMA table lookups.
+# Per-step increments for the branch-free masked-FMA table lookup (decode).
 _EXP2_16_STEPS = (_EXP2_16[1:] - _EXP2_16[:-1]).astype(np.float32)
-_ACT_M_STEPS = (_ACT_M_TABLE[1:] - _ACT_M_TABLE[:-1]).astype(np.float32)
 
 
 def _frexp_1_2(ax: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -116,19 +107,53 @@ def _masked_fma_lookup(base: float, steps: np.ndarray, idx_ge):
     return out
 
 
+# Split-product 2**(ml/16) for integer ml in 0..16: 2**(a/16) * 2**(b/16)
+# with a = ml&12, b = ml&3 from 4-entry selects, plus a 1-bit exact ulp
+# correction (offline-verified: float32 product is 0 or -1 ulp off the
+# correctly-rounded value; bits set at ml in {6,7,9,11,13}).
+_FA = [np.float32(2.0 ** (a / 16.0)) for a in (0, 4, 8, 12)]
+_FB = [np.float32(2.0 ** (b / 16.0)) for b in (0, 1, 2, 3)]
+_SPLIT_MAGIC = np.int32(
+    sum((int(np.float32(2.0 ** (ml / 16.0)).view(np.int32))
+         - int(np.float32(_FA[(ml & 12) >> 2] * _FB[ml & 3]).view(np.int32)))
+        << ml for ml in range(16))
+)
+# ml -> ml correction for the linear->log conversion (round(16*log2(1+j/16))
+# - j verified in {0,1}; bits at j = 2..14).
+_ML_MAGIC = np.int32(
+    sum((int(np.round(16 * np.log2(1 + j / 16.0))) - j) << j for j in range(16))
+)
+
+
+def _exp2_frac16(ml: jax.Array) -> jax.Array:
+    """float32(2**(ml/16)) exactly, ml integer in [0, 16]: ~12 VPU ops."""
+    b4 = (ml & 4) != 0
+    fa = jnp.where((ml & 8) != 0,
+                   jnp.where(b4, _FA[3], _FA[2]),
+                   jnp.where(b4, _FA[1], _FA[0]))
+    b1 = (ml & 1) != 0
+    fb = jnp.where((ml & 2) != 0,
+                   jnp.where(b1, _FB[3], _FB[2]),
+                   jnp.where(b1, _FB[1], _FB[0]))
+    prod = jnp.where(ml == 16, np.float32(2.0), fa * fb)
+    bits = jax.lax.bitcast_convert_type(prod, jnp.int32) + (
+        (_SPLIT_MAGIC >> ml) & 1)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
 def _log_mantissa_q(m: jax.Array) -> jax.Array:
     """SLFP<3,4> weight-path mantissa: 2**(round(log2(m)*16)/16), m in [1,2)."""
-    return _masked_fma_lookup(
-        _EXP2_16[0], _EXP2_16_STEPS, lambda i: m >= _LOG_BIN_BOUNDS[i - 1]
-    )
+    idx = jnp.zeros(m.shape, jnp.int32)
+    for i in range(16):
+        idx = idx + (m >= _LOG_BIN_BOUNDS[i]).astype(jnp.int32)
+    return _exp2_frac16(idx)
 
 
 def _act_mantissa_q(m: jax.Array) -> jax.Array:
     """SLFP<3,4> act-path mantissa: linear round to j/16 then log-convert."""
-    j = jnp.round(m * 16.0) - 16.0  # exact; j in 0..16 for m in [1,2)
-    return _masked_fma_lookup(
-        _ACT_M_TABLE[0], _ACT_M_STEPS, lambda i: j >= np.float32(i)
-    )
+    j = (jnp.round(m * 16.0) - 16.0).astype(jnp.int32)  # 0..16, exact
+    ml = j + ((_ML_MAGIC >> j) & 1)
+    return _exp2_frac16(ml)
 
 
 def _apply_boundaries(ax, out, *, clamp, clamp_ge):

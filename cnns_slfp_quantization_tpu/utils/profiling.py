@@ -67,9 +67,9 @@ def scan_throughput(model, variables, x0, *, steps: int = 16) -> float:
     @jax.jit
     def run(variables, x0):
         def body(acc, i):
-            y = model.apply(
-                variables, x0 * (1.0 + i.astype(jnp.float32) * 1e-6),
-                train=False)
+            perturbed = (x0.astype(jnp.float32)
+                         * (1.0 + i.astype(jnp.float32) * 1e-6)).astype(x0.dtype)
+            y = model.apply(variables, perturbed, train=False)
             return acc + jnp.sum(y.astype(jnp.float32)), None
 
         acc, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(steps))

@@ -46,6 +46,7 @@ def ref_modules():
         "resnet50": importlib.import_module("nets_imgnet.resnet50"),
         "alexnet": importlib.import_module("nets_imgnet.alexnet"),
         "squeezenet": importlib.import_module("nets_imgnet.squeezenet1_0"),
+        "inception": importlib.import_module("nets_imgnet.inception_v3"),
     }
 
 
@@ -110,6 +111,10 @@ CASES = [
     ("alexnet", lambda m, q: m.AlexNet(qbit=q), "alexnet", 224, [32, 8]),
     ("squeezenet", lambda m, q: m.SqueezeNet(qbit=q), "squeezenet", 224,
      [32, 8]),
+    # FP32-only in the reference (import commented out in the driver,
+    # imgnet_train_eval.py:21) — inventory parity, quantization N/A.
+    ("inception", lambda m, q: m.inception_v3(num_classes=1000), "inceptionv3",
+     96, [32]),
 ]
 
 
