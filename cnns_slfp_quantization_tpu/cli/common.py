@@ -55,6 +55,12 @@ def add_common_args(parser):
                         help="data-parallel mesh size (0 = single device)")
     parser.add_argument("--mesh_model", type=int, default=1,
                         help="tensor-parallel mesh size")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="resume full train state (params+opt+step) from "
+                             "an orbax checkpoint dir")
+    parser.add_argument("--save_state", action="store_true", default=False,
+                        help="checkpoint the full train state each epoch "
+                             "(enables --resume restart recovery)")
     parser.add_argument("--debug_nans", action="store_true", default=False,
                         help="enable jax_debug_nans (SURVEY.md §5 sanitizer)")
     parser.add_argument("--jax_cache", type=str, default="/tmp/jax_cache",
@@ -129,6 +135,13 @@ def run_main_loop(cfg, model, variables, train_batches, eval_batches,
     tx = optimizers.create_optimizer(cfg.optimizer, lr_sched, cfg.Qbits,
                                      weight_decay=cfg.wd)
     state = loop.TrainState.create(variables, tx)
+    if getattr(cfg, "resume", None):
+        # restart-based recovery (SURVEY.md §5): restore the full train
+        # state (params, BN stats, optimizer momentum, step counter)
+        restored = checkpoint.restore(cfg.resume, jax.device_get(state))
+        state = jax.tree.map(jnp.asarray, restored)
+        print(f"==> resumed train state from {cfg.resume} "
+              f"(step {int(state.step)})")
     train_step = jax.jit(loop.make_train_step(model, tx, has_dropout),
                          donate_argnums=0)
     eval_step = jax.jit(loop.make_eval_step(model))
@@ -154,5 +167,7 @@ def run_main_loop(cfg, model, variables, train_batches, eval_batches,
             acc_max = acc
             checkpoint.save(ckpt_path, jax.device_get(state.variables()))
             print(f"max acc : {acc_max}\nsaving model....")
+        if getattr(cfg, "save_state", False):
+            checkpoint.save(ckpt_path + "_state", jax.device_get(state))
     logger.close()
     return state, acc_data
