@@ -76,7 +76,9 @@ def scan_throughput(model, variables, x0, *, steps: int = 16) -> float:
         return acc
 
     float(run(variables, x0))  # compile + warm
-    t0 = time.perf_counter()
-    float(run(variables, x0))
-    dt = time.perf_counter() - t0
-    return x0.shape[0] * steps / dt
+    best = float("inf")
+    for _ in range(3):  # best-of-3: the relay adds multi-ms jitter
+        t0 = time.perf_counter()
+        float(run(variables, x0))
+        best = min(best, time.perf_counter() - t0)
+    return x0.shape[0] * steps / best

@@ -107,3 +107,31 @@ def test_imgnet_eval_transform_shapes():
     rng = np.random.default_rng(1)
     out2 = transforms.imgnet_train_pil(img, rng)
     assert out2.shape == (224, 224, 3)
+
+
+def test_imagefolder_pipeline(tmp_path):
+    # Generate a tiny ImageFolder tree and run the threaded loader.
+    from PIL import Image
+
+    from cnns_slfp_quantization_tpu.data import imagenet
+
+    rng = np.random.default_rng(0)
+    for cls in ["n01440764", "n01443537"]:
+        d = tmp_path / "val" / cls
+        d.mkdir(parents=True)
+        for i in range(3):
+            Image.fromarray(
+                rng.integers(0, 255, (64 + i * 10, 80, 3), np.uint8)
+            ).save(d / f"img_{i}.JPEG")
+    it = imagenet.ImageNetIterator(str(tmp_path / "val"), batch_size=4,
+                                   train=False, workers=2)
+    batches = list(it)
+    assert sum(b[0].shape[0] for b in batches) == 6
+    x, y = batches[0]
+    assert x.shape[1:] == (224, 224, 3) and x.dtype == np.float32
+    assert set(np.unique(np.concatenate([b[1] for b in batches]))) == {0, 1}
+    # train-mode augmentation path
+    it_tr = imagenet.ImageNetIterator(str(tmp_path / "val"), batch_size=6,
+                                      train=True, workers=2, seed=1)
+    xt, _ = next(iter(it_tr))
+    assert xt.shape == (6, 224, 224, 3) and np.isfinite(xt).all()
