@@ -45,9 +45,13 @@ def main():
     for tag, qbit in (("slfp8", 8), ("fp32", 32)):
         if qbit == 8:
             # inference config: bf16 activation stream + offline-quantized
-            # weights (bit-identical outputs to the QAT-path forward)
+            # weights (bit-identical outputs to the QAT-path forward).
+            # use_pallas=False: on this relay-attached chip the XLA conv path
+            # with the split-magic quantize epilogue measures ~27% faster
+            # than the fused Pallas 1x1 kernels (A/B in docs/DESIGN.md).
             model = models.create_model(
-                "resnet", 8, compute_dtype=jnp.bfloat16, frozen_weights=True)
+                "resnet", 8, compute_dtype=jnp.bfloat16, frozen_weights=True,
+                use_pallas=False)
             init_model = models.create_model("resnet", 8)
             variables = init_model.init(jax.random.PRNGKey(1), x[:1], train=False)
             cap = models.create_model("resnet", 8, capture="full")
