@@ -73,3 +73,31 @@ def test_data_parallel_eval_matches(setup):
         got = jax.device_get(steps.jit_eval_step(eval_step)(variables, xs, ys))
     assert got["correct1"] == ref["correct1"]
     assert got["correct5"] == ref["correct5"]
+
+
+def test_spatial_conv_halo_exchange():
+    # H-sharded conv with halo exchange == unsharded SAME conv.
+    from cnns_slfp_quantization_tpu.parallel import spatial
+
+    mesh = make_mesh(model=1)  # 8-way 'data' axis
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 32, 16, 8))
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 8, 12)) * 0.1
+    got = spatial.spatial_conv2d(x, w, mesh)
+    want = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_spatial_conv_5x5():
+    from cnns_slfp_quantization_tpu.parallel import spatial
+
+    mesh = make_mesh(model=1)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 40, 12, 4))
+    w = jax.random.normal(jax.random.PRNGKey(3), (5, 5, 4, 4)) * 0.1
+    got = spatial.spatial_conv2d(x, w, mesh)
+    want = jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
