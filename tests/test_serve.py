@@ -1,0 +1,25 @@
+"""Inference engine surface tests."""
+
+import numpy as np
+
+from cnns_slfp_quantization_tpu.serve import InferenceEngine
+
+
+def test_engine_predict_and_classify():
+    eng = InferenceEngine("mobilenet", qbit=8, batch_size=4)
+    x = np.random.default_rng(0).normal(0, 1, (6, 32, 32, 3)).astype(np.float32)
+    logits = eng.predict(x)
+    assert logits.shape == (6, 100)
+    assert np.isfinite(logits).all()
+    cls = eng.classify(x)
+    assert cls.shape == (6,)
+    # padding must not change results: predict in one call vs two
+    np.testing.assert_allclose(logits[:4], eng.predict(x[:4]), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_engine_fp32_passthrough():
+    eng = InferenceEngine("mobilenet", qbit=32, batch_size=2,
+                          compute_dtype=None)
+    x = np.zeros((2, 32, 32, 3), np.float32)
+    assert eng.predict(x).shape == (2, 100)
