@@ -37,7 +37,7 @@ def main():
     from cnns_slfp_quantization_tpu import models
     from cnns_slfp_quantization_tpu.ops import freeze
 
-    batch = 64
+    batch = 256
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (batch, 224, 224, 3), jnp.float32)
 
@@ -55,7 +55,8 @@ def main():
             init_model = models.create_model("resnet", 8)
             variables = init_model.init(jax.random.PRNGKey(1), x[:1], train=False)
             cap = models.create_model("resnet", 8, capture="full")
-            variables = freeze.prequantize_variables(cap, variables, x[:1])
+            variables = freeze.prequantize_variables(cap, variables, x[:1],
+                                                     dtype=jnp.bfloat16)
         else:
             model = models.create_model("resnet", 32)
             variables = model.init(jax.random.PRNGKey(1), x[:1], train=False)

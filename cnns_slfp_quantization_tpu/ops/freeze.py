@@ -42,17 +42,23 @@ def _map_quant_kernels(model_capture_full, variables, sample_input, fn):
     return out
 
 
-def prequantize_variables(model_capture_full, variables, sample_input):
+def prequantize_variables(model_capture_full, variables, sample_input,
+                          dtype=None):
     """Return variables with every quant kernel replaced by Q(kernel/Kw).
 
     ``model_capture_full`` must be the same architecture constructed with
     ``capture="full"``.  Non-quantized kernels (plain nn.Dense/nn.Conv) are
     left untouched.  Use with ``frozen_weights=True`` models; outputs are
     bit-identical to the QAT-path forward.
+
+    ``dtype=jnp.bfloat16`` stores the frozen weights in the compute dtype
+    directly — identical results to the runtime cast the bf16 conv path
+    performs anyway, but skips that per-step convert and halves weight HBM
+    traffic.
     """
     return _map_quant_kernels(
         model_capture_full, variables, sample_input,
-        lambda wq, old: jnp.asarray(wq, old.dtype))
+        lambda wq, old: jnp.asarray(wq, dtype or old.dtype))
 
 
 def pack_variables(model_capture_full, variables, sample_input):

@@ -39,3 +39,20 @@ def test_packed_uint8_forward_close():
     m_frozen = models.create_model("mobilenet", 8, frozen_weights=True)
     got = np.asarray(m_frozen.apply(v_packed, x, train=False))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_bf16_frozen_matches_runtime_cast():
+    # Storing frozen weights in bf16 == casting f32 frozen weights at
+    # runtime (the conv multiplies in bf16 either way).
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 32, 32, 3))
+    m = models.create_model("mobilenet", 8)
+    v = m.init(rng, x, train=False)
+    cap = models.create_model("mobilenet", 8, capture="full")
+    v_f32 = freeze.prequantize_variables(cap, v, x[:1])
+    v_bf16 = freeze.prequantize_variables(cap, v, x[:1], dtype=jnp.bfloat16)
+    mf = models.create_model("mobilenet", 8, frozen_weights=True,
+                             compute_dtype=jnp.bfloat16, use_pallas=False)
+    a = np.asarray(mf.apply(v_f32, x, train=False), np.float32)
+    b = np.asarray(mf.apply(v_bf16, x, train=False), np.float32)
+    np.testing.assert_array_equal(a, b)
