@@ -42,13 +42,17 @@ class ResNet50(nn.Module):
     frozen_weights: bool = False
     use_pallas: "bool | None" = None
 
-    def _conv(self, sid, features, kernel, stride=1, pad=0, name=""):
+    def _conv(self, sid, features, kernel, stride=1, pad=0, name="",
+              nonneg=True):
+        # every conv input except the stem's (the signed normalized image) is
+        # post-ReLU/maxpool, so the quantizer can skip sign handling
         return QuantConv(
             features=features, kernel_size=(kernel, kernel), qbit=self.qbit,
             ka=float(self.scales.ka[sid]), kw=float(self.scales.kw[sid]),
             strides=(stride, stride), padding=pad, use_bias=False,
             capture=self.capture, compute_dtype=self.compute_dtype,
-            frozen_weights=self.frozen_weights, use_pallas=self.use_pallas, layer_id=sid, name=name,
+            frozen_weights=self.frozen_weights, use_pallas=self.use_pallas,
+            nonneg_input=nonneg, layer_id=sid, name=name,
         )
 
     def _bn(self, name):
@@ -57,7 +61,7 @@ class ResNet50(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         ura = not train
-        x = self._conv(0, 64, 7, 2, pad=3, name="conv1")(x)
+        x = self._conv(0, 64, 7, 2, pad=3, name="conv1", nonneg=False)(x)
         x = self._bn("bn1")(x, use_running_average=ura)
         x = act_lib.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -92,6 +96,7 @@ class ResNet50(nn.Module):
             features=self.num_classes, qbit=self.qbit,
             ka=float(self.scales.ka[53]), kw=float(self.scales.kw[53]),
             capture=self.capture, compute_dtype=self.compute_dtype,
-            frozen_weights=self.frozen_weights, use_pallas=self.use_pallas, layer_id=53, name="fc",
+            frozen_weights=self.frozen_weights, use_pallas=self.use_pallas,
+            nonneg_input=True, layer_id=53, name="fc",
         )(x)
         return x

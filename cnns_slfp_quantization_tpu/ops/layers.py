@@ -69,8 +69,9 @@ class QuantConv(nn.Module):
     layer_id: Optional[int] = None  # reference layer index, for calib dumps
     frozen_weights: bool = False  # kernel already holds Q(w/Kw) (inference)
     use_pallas: Optional[bool] = None  # None = auto (1x1 bf16 SLFP8 path)
+    nonneg_input: bool = False  # input is post-ReLU/pool: skip sign handling
 
-    def _pallas_eligible(self) -> bool:
+    def _pallas_eligible(self, packed: bool) -> bool:
         if self.use_pallas is False:
             return False
         kh, kw_ = self.kernel_size
@@ -79,9 +80,15 @@ class QuantConv(nn.Module):
         shape_ok = (self.qbit == 8 and kh == kw_ == 1
                     and self.feature_group_count == 1 and pad_zero
                     and self.capture is None)
+        # Auto mode: Pallas only for uint8-packed serving weights (decode in
+        # VMEM is the point; 4x less weight HBM) on a real TPU.  For float
+        # weights the XLA conv + fused integer quantize path measures faster
+        # (docs/DESIGN.md A/B), so auto keeps it.
         want = (self.use_pallas is True
                 or (self.use_pallas is None
-                    and self.compute_dtype == jnp.bfloat16))
+                    and packed
+                    and self.compute_dtype == jnp.bfloat16
+                    and jax.default_backend() == "tpu"))
         return shape_ok and want
 
     @nn.compact
@@ -112,7 +119,7 @@ class QuantConv(nn.Module):
         else:
             weight_q = sfp.quantize_weight(kernel / kw, self.qbit)
 
-        if self._pallas_eligible():
+        if self._pallas_eligible(packed):
             # Fused Pallas path: quantize-in-VMEM (+ uint8 weight decode) +
             # MXU dot + scaled epilogue (kernels/fused_matmul.py);
             # numerically equivalent to the XLA path below.
@@ -128,7 +135,15 @@ class QuantConv(nn.Module):
         if packed:
             weight_q = sfp.unpack_slfp34(kernel)
 
-        input_q = sfp.quantize_act(x / ka, self.qbit)
+        if (self.compute_dtype == jnp.bfloat16 and self.capture is None
+                and self.qbit in (7, 8)):
+            # integer-domain fused scale+quantize+bf16-cast (~2.5x fewer VPU
+            # ops than the float path; bit-identical for pow2 scales, <=1ulp
+            # scaled-input divergence otherwise — see sfp.py)
+            input_q = sfp.fused_scale_quant_act_bf16(
+                x, float(1.0 / np.float64(ka)), self.qbit, self.nonneg_input)
+        else:
+            input_q = sfp.quantize_act(x / ka, self.qbit)
         if self.capture == "full":
             self.sow("intermediates", "input_q", input_q)
             self.sow("intermediates", "weight_q", weight_q)
@@ -173,6 +188,7 @@ class QuantDense(nn.Module):
     layer_id: Optional[int] = None
     frozen_weights: bool = False
     use_pallas: Optional[bool] = None
+    nonneg_input: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -200,8 +216,10 @@ class QuantDense(nn.Module):
 
         pallas_ok = (self.use_pallas is not False and self.qbit == 8
                      and self.capture is None
-                     and self.compute_dtype == jnp.bfloat16)
-        if pallas_ok or self.use_pallas:
+                     and self.compute_dtype == jnp.bfloat16
+                     and (self.use_pallas is True
+                          or (packed and jax.default_backend() == "tpu")))
+        if pallas_ok:
             from cnns_slfp_quantization_tpu.kernels import fused_matmul
 
             return fused_matmul.quant_dense(
@@ -210,7 +228,12 @@ class QuantDense(nn.Module):
         if packed:
             weight_q = sfp.unpack_slfp34(kernel)
 
-        input_q = sfp.quantize_act(x / ka, self.qbit)
+        if (self.compute_dtype == jnp.bfloat16 and self.capture is None
+                and self.qbit in (7, 8)):
+            input_q = sfp.fused_scale_quant_act_bf16(
+                x, float(1.0 / np.float64(ka)), self.qbit, self.nonneg_input)
+        else:
+            input_q = sfp.quantize_act(x / ka, self.qbit)
         if self.capture == "full":
             self.sow("intermediates", "input_q", input_q)
             self.sow("intermediates", "weight_q", weight_q)

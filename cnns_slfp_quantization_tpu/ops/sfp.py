@@ -293,6 +293,126 @@ def quantize_layerout(x: jax.Array, qbit: int, *, bug_compat: bool = True) -> ja
 
 
 # ---------------------------------------------------------------------------
+# Fused scale+quantize+cast fast path (bf16 activation stream).
+#
+# The A/B profile (docs/DESIGN.md) showed the act quantizer is pure VPU time
+# fused into each conv's producer pass: ResNet-50 quantizes ~10M elements per
+# image, and at ~48 HLO ops/element (the float path above) that VPU time is
+# ~92us/image — more than the convs themselves.  This path computes the same
+# SLFP<3,4>/SFP<3,3> act quantization *directly in the float32 bit domain*
+# and assembles the bfloat16 result bits, in ~25 integer VPU ops:
+#
+# - scale is applied as one f32 multiply by the precomputed reciprocal
+#   (divergence from the reference's divide: <= 1 ulp on the scaled input,
+#   which can flip a quantization bin only when the input sits within 1 ulp
+#   of a bin boundary),
+# - the linear mantissa round (round-half-even of m*16) is a carry-propagating
+#   integer add on the f32 bits: t = a + 0x3ffff + ((a>>19)&1); the m == 2.0
+#   carry lands in the exponent field automatically,
+# - linear->log conversion and the bf16 mantissa of 2**(ml/16) are collapsed
+#   into one table M7[j] = bf16_mantissa(2**(round(16*log2(1+j/16))/16)),
+#   stored as 16 4-bit deltas from 8j in two int32 magic constants,
+# - subnormal flush / pseudo-zero / clamp are integer compares (positive f32
+#   bit patterns are order-isomorphic to their values).
+#
+# Bit-exactness: for power-of-two scales the output is bit-identical to
+# ``quantize_act(x / ka, qbit).astype(bfloat16)``; the only intended
+# divergences are the reciprocal multiply (above) and NaN inputs (reference
+# propagates garbage, we clamp).
+# ---------------------------------------------------------------------------
+
+
+def _bf16_bits(v: float) -> int:
+    import ml_dtypes
+
+    return int(np.asarray(np.float32(v), ml_dtypes.bfloat16).view(np.uint16))
+
+
+def _f32_bits(v: float) -> np.int32:
+    return np.int32(np.float32(v).view(np.int32))
+
+
+# ml(j) = round(16*log2((16+j)/16)) for the linear->log mantissa conversion
+# (reference sfp_quant.py:86-90); M7[j] = bf16 mantissa field of the f32
+# codebook value 2**(ml/16) (f64 -> f32 -> bf16, matching the float path's
+# double rounding).  D3[j] = M7[j] - 8j + 3 verified in [0, 15] (4 bits).
+_ML_OF_J = [int(np.round(16 * np.log2((16 + j) / 16.0))) for j in range(16)]
+_M7 = [_bf16_bits(2.0 ** (ml / 16.0)) & 0x7F for ml in _ML_OF_J]
+_D3 = [_M7[j] - 8 * j + 3 for j in range(16)]
+assert all(0 <= d <= 15 for d in _D3), _D3
+_D3_LO = np.int32(sum(_D3[j] << (4 * j) for j in range(8)))
+_D3_HI = np.int32(sum(_D3[j + 8] << (4 * j) for j in range(8)))
+
+_PZ16 = np.int32(_bf16_bits(1e-10))       # bf16(pseudo-zero)
+_H16 = np.int32(_bf16_bits(0.125))        # subnormal floor
+_C16_SLFP = np.int32(_bf16_bits(float(SLFP34_CLAMP)))
+_C16_SFP33 = np.int32(_bf16_bits(15.0))
+_I32_LO = _f32_bits(0.0625)
+_I32_HI = _f32_bits(0.125)
+_I32_CLAMP_SLFP = _f32_bits(float(SLFP34_CLAMP))
+_I32_CLAMP_SFP33 = _f32_bits(15.0)
+
+
+def _act_bf16_bits(x: jax.Array, recip: float, qbit: int, nonneg: bool) -> jax.Array:
+    xs = x.astype(jnp.float32) * np.float32(recip)
+    bits = jax.lax.bitcast_convert_type(xs, jnp.int32)
+    # nonneg: caller guarantees xs >= 0 (post-ReLU/pool streams) so the sign
+    # mask/reattach ops are skipped.  jnp.maximum(x, 0) clears -0.0, so ReLU
+    # outputs are safe.
+    a = bits if nonneg else (bits & np.int32(0x7FFFFFFF))
+    if qbit == 8:
+        # round-half-even of m*16 as a carry-propagating mantissa add
+        t = a + (np.int32(0x3FFFF) + ((a >> 19) & 1))
+        r4 = t >> 19                      # ((e+127)<<4) | j, carry included
+        j = r4 & 15
+        sel = jnp.where(j >= 8, _D3_HI, _D3_LO)
+        d = (sel >> ((j & 7) << 2)) & 15
+        out = ((r4 >> 4) << 7) + ((j << 3) + (d - 3))
+        clamp_bits, clamp16 = _I32_CLAMP_SLFP, _C16_SLFP
+        big = a > clamp_bits              # reference uses > for SLFP<3,4>
+    elif qbit == 7:
+        # SFP<3,3>: linear 3-bit mantissa, exact in bf16's 7 mantissa bits
+        t = a + (np.int32(0x7FFFF) + ((a >> 20) & 1))
+        r3 = t >> 20
+        out = ((r3 >> 3) << 7) + ((r3 & 7) << 4)
+        clamp_bits, clamp16 = _I32_CLAMP_SFP33, _C16_SFP33
+        big = a >= clamp_bits             # reference uses >= for SFP<3,3>
+    else:  # pragma: no cover
+        raise ValueError(f"unsupported qbit {qbit}")
+    out = jnp.where(a < _I32_LO, jnp.where(a == 0, np.int32(0), _PZ16),
+                    jnp.where(a < _I32_HI, _H16, out))
+    out = jnp.where(big, clamp16, out)
+    if not nonneg:
+        out = out | ((bits >> 16) & np.int32(0x8000))
+    return jax.lax.bitcast_convert_type(out.astype(jnp.uint16), jnp.bfloat16)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def fused_scale_quant_act_bf16(x: jax.Array, recip: float, qbit: int,
+                               nonneg: bool = False) -> jax.Array:
+    """``quantize_act(x * recip, qbit).astype(bfloat16)`` in ~25 VPU ops.
+
+    ``recip`` is the precomputed 1/Ka (static).  STE gradient:
+    ``dx = g * recip`` (the scale is a real op in the reference autograd
+    graph, conv2d_func.py:21; the quantizer itself is identity-STE).
+    ``nonneg=True`` skips sign handling — only valid when x >= 0.
+    """
+    return _act_bf16_bits(x, recip, qbit, nonneg)
+
+
+def _fused_fwd(x, recip, qbit, nonneg):
+    # residual: zero-size scalar carrying only the input dtype
+    return _act_bf16_bits(x, recip, qbit, nonneg), jnp.zeros((), x.dtype)
+
+
+def _fused_bwd(recip, qbit, nonneg, res, g):
+    return ((g.astype(jnp.float32) * np.float32(recip)).astype(res.dtype),)
+
+
+fused_scale_quant_act_bf16.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Codebooks (for tests and LUT-based kernels).
 # ---------------------------------------------------------------------------
 

@@ -208,3 +208,66 @@ def test_bfloat16_dtype_preserved():
     x = jnp.asarray(_rand(1024)).astype(jnp.bfloat16)
     q = sfp.quantize_act(x, 8)
     assert q.dtype == jnp.bfloat16
+
+
+# ---------------------------------------------------------------------------
+# Fused integer-domain scale+quantize+bf16 fast path (sfp.py).
+# ---------------------------------------------------------------------------
+
+
+def _all_finite_bf16():
+    import ml_dtypes
+
+    u = np.arange(65536, dtype=np.uint16)
+    xb = u.view(ml_dtypes.bfloat16)
+    return jnp.asarray(xb[np.isfinite(xb.astype(np.float32))])
+
+
+@pytest.mark.parametrize("qbit", [8, 7])
+@pytest.mark.parametrize("recip", [1.0, 0.125, 8.0])
+def test_fused_act_bf16_bit_exact_exhaustive(qbit, recip):
+    """For pow2 scales the fused path is bit-identical to the float path
+    over EVERY finite bfloat16 input (pow2 makes both scale conventions
+    exact, isolating the quantizer itself)."""
+    x = _all_finite_bf16()
+    old = sfp.quantize_act(
+        x.astype(jnp.float32) * np.float32(recip), qbit).astype(jnp.bfloat16)
+    new = sfp.fused_scale_quant_act_bf16(x, recip, qbit, False)
+    np.testing.assert_array_equal(
+        np.asarray(old).view(np.uint16), np.asarray(new).view(np.uint16))
+
+
+@pytest.mark.parametrize("qbit", [8, 7])
+def test_fused_act_bf16_nonneg_matches(qbit):
+    x = _all_finite_bf16()
+    keep = (np.asarray(x.astype(jnp.float32)) >= 0) & (
+        (np.asarray(x).view(np.uint16) & 0x8000) == 0)  # drop -0.0 (ReLU clears it)
+    xp = x[keep]
+    a = sfp.fused_scale_quant_act_bf16(xp, 1.0, qbit, True)
+    b = sfp.fused_scale_quant_act_bf16(xp, 1.0, qbit, False)
+    np.testing.assert_array_equal(
+        np.asarray(a).view(np.uint16), np.asarray(b).view(np.uint16))
+
+
+def test_fused_act_bf16_general_scale_close():
+    """Non-pow2 scales: reciprocal multiply vs reference divide can differ by
+    <=1 ulp on the scaled input, flipping at most a bin at bin boundaries."""
+    x = jnp.asarray(_rand(200_000))
+    ka = 3.7
+    old = sfp.quantize_act(x / np.float32(ka), 8).astype(jnp.bfloat16)
+    new = sfp.fused_scale_quant_act_bf16(x, 1.0 / ka, 8, False)
+    o = np.asarray(old, np.float32)
+    n = np.asarray(new, np.float32)
+    exact = o == n
+    assert exact.mean() > 0.9999
+    # mismatches are adjacent codes (ratio one log-bin = 2**(1/16))
+    r = n[~exact] / o[~exact]
+    assert np.all((r > 0.95) & (r < 1.05))
+
+
+def test_fused_act_bf16_ste_gradient_includes_scale():
+    recip = 0.25
+    g = jax.grad(lambda v: jnp.sum(
+        sfp.fused_scale_quant_act_bf16(v, recip, 8, False).astype(jnp.float32)
+    ))(jnp.full((8,), 3.0, jnp.float32))
+    np.testing.assert_allclose(np.asarray(g), recip)
