@@ -29,6 +29,7 @@ from cnns_slfp_quantization_tpu.kernels.quantize import (
     _tree_select,
     slfp34_act_bits,
 )
+from cnns_slfp_quantization_tpu.ops.sfp import _act_bf16_bits
 
 
 def slfp34_decode_bits(codes: jax.Array) -> jax.Array:
@@ -47,9 +48,11 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def _matmul_kernel(x_ref, w_ref, b_ref, o_ref, *, ka, kw, act, quantize_x):
+def _matmul_kernel(x_ref, w_ref, b_ref, o_ref, *, ka, kw, act, quantize_x,
+                   nonneg):
     if quantize_x:
-        xq = slfp34_act_bits(x_ref[:] * np.float32(1.0 / ka))
+        # integer-domain fused scale+quantize direct to bf16 (ops/sfp.py)
+        xq = _act_bf16_bits(x_ref[:], 1.0 / ka, 8, nonneg)
     else:
         xq = x_ref[:]
     if w_ref.dtype == jnp.uint8:
@@ -75,6 +78,7 @@ def fused_quant_matmul(
     bias: Optional[jax.Array] = None,
     act: Optional[Callable] = None,
     quantize_x: bool = True,
+    nonneg: bool = False,
     bm: int = 256,
     bn: Optional[int] = None,
     out_dtype=jnp.float32,
@@ -109,7 +113,7 @@ def fused_quant_matmul(
 
     kernel = functools.partial(
         _matmul_kernel, ka=float(ka), kw=float(kw), act=act,
-        quantize_x=quantize_x)
+        quantize_x=quantize_x, nonneg=nonneg)
     in_specs = [
         pl.BlockSpec((bm, K), lambda j, i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((K, bn), lambda j, i: (0, j), memory_space=pltpu.VMEM),
@@ -143,7 +147,7 @@ def kernel_no_bias(inner, x_ref, w_ref, o_ref):
     inner(x_ref, w_ref, None, o_ref)
 
 
-def _diff_matmul(ka, kw, out_dtype):
+def _diff_matmul(ka, kw, out_dtype, nonneg=False):
     """Differentiable wrapper: Pallas forward, analytic STE backward.
 
     The forward (bitcasts + pallas_call) is not autodiff-able; the backward
@@ -157,7 +161,7 @@ def _diff_matmul(ka, kw, out_dtype):
     @jax.custom_vjp
     def op(x, w_values, bias):
         return fused_quant_matmul(x, w_values, ka=ka, kw=kw, bias=bias,
-                                  out_dtype=out_dtype)
+                                  out_dtype=out_dtype, nonneg=nonneg)
 
     def fwd(x, w_values, bias):
         y = op(x, w_values, bias)
@@ -167,7 +171,7 @@ def _diff_matmul(ka, kw, out_dtype):
         x, w_values = res
         gf = g.astype(jnp.float32)
         dx = (gf @ w_values.astype(jnp.float32).T) * np.float32(kw)
-        xq = slfp34_act_bits(x * np.float32(1.0 / ka))
+        xq = _act_bf16_bits(x, 1.0 / ka, 8, nonneg).astype(jnp.float32)
         dw = (xq.T @ gf) * np.float32(ka * kw)
         db = jnp.sum(gf, axis=0)  # bias enters as b/(ka*kw) * ka*kw = b
         return dx.astype(x.dtype), dw.astype(w_values.dtype), db
@@ -176,7 +180,8 @@ def _diff_matmul(ka, kw, out_dtype):
     return op
 
 
-def quant_dense(x, w_codes, *, ka, kw, bias=None, act=None, **kw_args):
+def quant_dense(x, w_codes, *, ka, kw, bias=None, act=None, nonneg=False,
+                **kw_args):
     """Dense layer on packed/pre-quantized weights; x: [..., K].
 
     Differentiable (STE backward) when weights are float values; uint8
@@ -188,19 +193,20 @@ def quant_dense(x, w_codes, *, ka, kw, bias=None, act=None, **kw_args):
         out_dtype = kw_args.get("out_dtype", jnp.float32)
         b = bias if bias is not None else jnp.zeros(
             (w_codes.shape[-1],), jnp.float32)
-        y = _diff_matmul(float(ka), float(kw), out_dtype)(x2, w_codes, b)
+        y = _diff_matmul(float(ka), float(kw), out_dtype, nonneg)(
+            x2, w_codes, b)
     else:
         y = fused_quant_matmul(x2, w_codes, ka=ka, kw=kw, bias=bias,
-                               act=act, **kw_args)
+                               act=act, nonneg=nonneg, **kw_args)
     return y.reshape(*lead, y.shape[-1])
 
 
 def quant_conv1x1(x_nhwc, w_codes, *, ka, kw, bias=None, act=None,
-                  stride: int = 1, **kw_args):
+                  stride: int = 1, nonneg: bool = False, **kw_args):
     """1x1 convolution on packed/pre-quantized weights; w_codes: [Cin, Cout]."""
     if stride != 1:
         x_nhwc = x_nhwc[:, ::stride, ::stride, :]
     b, h, w, c = x_nhwc.shape
     y = quant_dense(x_nhwc.reshape(-1, c), w_codes, ka=ka, kw=kw, bias=bias,
-                    act=act, **kw_args)
+                    act=act, nonneg=nonneg, **kw_args)
     return y.reshape(b, h, w, -1)

@@ -27,27 +27,31 @@ class AlexNet(nn.Module):
     frozen_weights: bool = False
     use_pallas: "bool | None" = None
 
-    def _conv(self, sid, features, kernel, stride=1, pad=0):
+    def _conv(self, sid, features, kernel, stride=1, pad=0, nonneg=True):
         return QuantConv(
             features=features, kernel_size=(kernel, kernel), qbit=self.qbit,
             ka=float(self.scales.ka[sid]), kw=float(self.scales.kw[sid]),
             strides=(stride, stride), padding=pad, use_bias=True,
             capture=self.capture, compute_dtype=self.compute_dtype,
-            frozen_weights=self.frozen_weights, use_pallas=self.use_pallas, layer_id=sid, name=f"conv{sid}",
+            frozen_weights=self.frozen_weights, use_pallas=self.use_pallas,
+            nonneg_input=nonneg, layer_id=sid, name=f"conv{sid}",
         )
 
     def _fc(self, sid, features, name):
+        # fc inputs are flattened/dropped-out ReLU outputs: nonneg
         return QuantDense(
             features=features, qbit=self.qbit,
             ka=float(self.scales.ka[sid]), kw=float(self.scales.kw[sid]),
             capture=self.capture, compute_dtype=self.compute_dtype,
-            frozen_weights=self.frozen_weights, use_pallas=self.use_pallas, layer_id=sid, name=name,
+            frozen_weights=self.frozen_weights, use_pallas=self.use_pallas,
+            nonneg_input=True, layer_id=sid, name=name,
         )
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         pool = lambda x: nn.max_pool(x, (3, 3), strides=(2, 2))
-        x = act_lib.relu(self._conv(0, 64, 11, stride=4, pad=2)(x))
+        x = act_lib.relu(self._conv(0, 64, 11, stride=4, pad=2,
+                                    nonneg=False)(x))
         x = pool(x)
         x = act_lib.relu(self._conv(1, 192, 5, pad=2)(x))
         x = pool(x)

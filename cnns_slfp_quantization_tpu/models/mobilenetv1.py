@@ -50,13 +50,15 @@ class MobileNetV1(nn.Module):
     frozen_weights: bool = False
     use_pallas: "bool | None" = None
 
-    def _conv(self, i, features, kernel, stride, groups=1, pad=1):
+    def _conv(self, i, features, kernel, stride, groups=1, pad=1,
+              nonneg=False):
         return QuantConv(
             features=features, kernel_size=(kernel, kernel), qbit=self.qbit,
             ka=float(self.scales.ka[i]), kw=float(self.scales.kw[i]),
             strides=(stride, stride), padding=pad, feature_group_count=groups,
             use_bias=False, capture=self.capture, compute_dtype=self.compute_dtype,
-            frozen_weights=self.frozen_weights, use_pallas=self.use_pallas, layer_id=i, name=f"conv{i}",
+            frozen_weights=self.frozen_weights, use_pallas=self.use_pallas,
+            nonneg_input=nonneg, layer_id=i, name=f"conv{i}",
         )
 
     def _bn(self, i):
@@ -73,13 +75,17 @@ class MobileNetV1(nn.Module):
         x = self._conv(0, 32, 3, 2)(x)
         x = post(0, x, act_lib.relu)
 
+        prev_relu = True  # Swish outputs are signed; track nonneg-ness
         for b, (inp, oup, stride) in enumerate(_DW_CONFIG):
-            act = act_lib.swish if b >= len(_DW_CONFIG) - self.swish_tail else act_lib.relu
+            is_relu = b < len(_DW_CONFIG) - self.swish_tail
+            act = act_lib.relu if is_relu else act_lib.swish
             i_dw, i_pw = 1 + 2 * b, 2 + 2 * b
-            x = self._conv(i_dw, inp, 3, stride, groups=inp)(x)
+            x = self._conv(i_dw, inp, 3, stride, groups=inp,
+                           nonneg=prev_relu)(x)
             x = post(i_dw, x, act)
-            x = self._conv(i_pw, oup, 1, 1, pad=0)(x)
+            x = self._conv(i_pw, oup, 1, 1, pad=0, nonneg=is_relu)(x)
             x = post(i_pw, x, act)
+            prev_relu = is_relu
 
         x = jnp.mean(x, axis=(1, 2))  # AdaptiveAvgPool2d(1) / AvgPool2d(7)
         if self.quant_classifier:
@@ -88,7 +94,7 @@ class MobileNetV1(nn.Module):
                 ka=float(self.scales.ka[27]), kw=float(self.scales.kw[27]),
                 capture=self.capture, compute_dtype=self.compute_dtype,
                 frozen_weights=self.frozen_weights, use_pallas=self.use_pallas,
-                layer_id=27, name="fc",
+                nonneg_input=prev_relu, layer_id=27, name="fc",
             )(x)
         else:
             x = nn.Dense(self.num_classes, name="fc")(x)

@@ -51,14 +51,18 @@ class ShuffleUnit(nn.Module):
     compute_dtype: Optional[Any] = None
     frozen_weights: bool = False
     use_pallas: "bool | None" = None
+    nonneg_in: bool = True  # unit input is a shuffled concat of ReLU outputs
+                            # (False only for the first unit, fed by the stem BN)
 
-    def _conv(self, sid, features, kernel, stride=1, groups=1, pad=0, name=""):
+    def _conv(self, sid, features, kernel, stride=1, groups=1, pad=0, name="",
+              nonneg=False):
         return QuantConv(
             features=features, kernel_size=(kernel, kernel), qbit=self.qbit,
             ka=float(self.scales.ka[sid]), kw=float(self.scales.kw[sid]),
             strides=(stride, stride), padding=pad, feature_group_count=groups,
             use_bias=False, capture=self.capture, compute_dtype=self.compute_dtype,
-            frozen_weights=self.frozen_weights, use_pallas=self.use_pallas, layer_id=sid, name=name,
+            frozen_weights=self.frozen_weights, use_pallas=self.use_pallas,
+            nonneg_input=nonneg, layer_id=sid, name=name,
         )
 
     def _bn(self, name):
@@ -79,10 +83,12 @@ class ShuffleUnit(nn.Module):
             rc = half
 
         # Residual branch (reference :63-74 / :88-99)
-        r = self._conv(ids[0], rc, 1, name="res_conv1")(residual_in)
+        r = self._conv(ids[0], rc, 1, name="res_conv1",
+                       nonneg=self.nonneg_in)(residual_in)
         r = self._bn("res_bn1")(r, use_running_average=not train)
         r = act_lib.relu(loq("res_loq1")(r))
-        r = self._conv(ids[1], rc, 3, self.stride, groups=rc, pad=1, name="res_conv2")(r)
+        r = self._conv(ids[1], rc, 3, self.stride, groups=rc, pad=1,
+                       name="res_conv2", nonneg=True)(r)
         r = self._bn("res_bn2")(r, use_running_average=not train)
         out_half = self.out_channels // 2 if downsample else rc
         r = self._conv(ids[2], out_half, 1, name="res_conv3")(r)
@@ -92,7 +98,7 @@ class ShuffleUnit(nn.Module):
         if downsample:
             # Shortcut branch (reference :75-82)
             s = self._conv(ids[3], rc, 3, self.stride, groups=rc, pad=1,
-                           name="short_conv1")(shortcut_in)
+                           name="short_conv1", nonneg=self.nonneg_in)(shortcut_in)
             s = self._bn("short_bn1")(s, use_running_average=not train)
             s = self._conv(ids[4], self.out_channels // 2, 1, name="short_conv2")(s)
             s = self._bn("short_bn2")(s, use_running_average=not train)
@@ -143,7 +149,7 @@ class ShuffleNetV2(nn.Module):
             x = ShuffleUnit(
                 scale_ids=[base + 1 + j for j in range(5)],
                 in_channels=in_c, out_channels=out_c, stride=2,
-                name=f"{sname}_u0", **common,
+                name=f"{sname}_u0", nonneg_in=(base != 0), **common,
             )(x, train=train)
             for k in range(repeat):
                 x = ShuffleUnit(
@@ -161,7 +167,8 @@ class ShuffleNetV2(nn.Module):
             features=out_ch[3], kernel_size=(1, 1), qbit=self.qbit,
             ka=float(self.scales.ka[55]), kw=float(self.scales.kw[55]),
             use_bias=False, capture=self.capture, compute_dtype=self.compute_dtype,
-            frozen_weights=self.frozen_weights, use_pallas=self.use_pallas, layer_id=55, name="conv5",
+            frozen_weights=self.frozen_weights, use_pallas=self.use_pallas,
+            nonneg_input=True, layer_id=55, name="conv5",
         )(x)
         x = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.compute_dtype, name="conv5_bn")(
             x, use_running_average=not train)
@@ -172,6 +179,7 @@ class ShuffleNetV2(nn.Module):
             features=self.num_classes, qbit=self.qbit,
             ka=float(self.scales.ka[56]), kw=float(self.scales.kw[56]),
             capture=self.capture, compute_dtype=self.compute_dtype,
-            frozen_weights=self.frozen_weights, use_pallas=self.use_pallas, layer_id=56, name="fc",
+            frozen_weights=self.frozen_weights, use_pallas=self.use_pallas,
+            nonneg_input=True, layer_id=56, name="fc",
         )(x)
         return x

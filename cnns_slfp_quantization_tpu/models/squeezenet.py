@@ -48,18 +48,21 @@ class SqueezeNet(nn.Module):
     frozen_weights: bool = False
     use_pallas: "bool | None" = None
 
-    def _conv(self, sid, features, kernel, stride=1, pad=0, name=""):
+    def _conv(self, sid, features, kernel, stride=1, pad=0, name="",
+              nonneg=True):
         return QuantConv(
             features=features, kernel_size=(kernel, kernel), qbit=self.qbit,
             ka=float(self.scales.ka[sid]), kw=float(self.scales.kw[sid]),
             strides=(stride, stride), padding=pad, use_bias=True,
             capture=self.capture, compute_dtype=self.compute_dtype,
-            frozen_weights=self.frozen_weights, use_pallas=self.use_pallas, layer_id=sid, name=name,
+            frozen_weights=self.frozen_weights, use_pallas=self.use_pallas,
+            nonneg_input=nonneg, layer_id=sid, name=name,
         )
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
-        x = act_lib.relu(self._conv(0, 96, 7, stride=2, name="conv0")(x))
+        x = act_lib.relu(self._conv(0, 96, 7, stride=2, name="conv0",
+                                    nonneg=False)(x))
         for f, (sq, e1, e3) in enumerate(_FIRE_PLAN):
             if f in _POOL_BEFORE:
                 x = _ceil_max_pool(x)

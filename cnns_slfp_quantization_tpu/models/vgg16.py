@@ -51,7 +51,11 @@ class VGG16(nn.Module):
                     ka=float(self.scales.ka[i]), kw=float(self.scales.kw[i]),
                     padding=1, use_bias=use_bias, capture=self.capture,
                     compute_dtype=self.compute_dtype,
-                    frozen_weights=self.frozen_weights, use_pallas=self.use_pallas, layer_id=i, name=f"conv{i}",
+                    frozen_weights=self.frozen_weights, use_pallas=self.use_pallas,
+                    # ReLU-variant inputs (except the image) are post-ReLU/
+                    # pool; GELU outputs are signed
+                    nonneg_input=(i > 0 and not self.gelu_variant),
+                    layer_id=i, name=f"conv{i}",
                 )(x)
                 x = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=self.compute_dtype, name=f"bn{i}")(
                     x, use_running_average=not train)
@@ -68,7 +72,8 @@ class VGG16(nn.Module):
                 features=features, qbit=self.qbit,
                 ka=float(self.scales.ka[sid]), kw=float(self.scales.kw[sid]),
                 capture=self.capture, compute_dtype=self.compute_dtype,
-                frozen_weights=self.frozen_weights, use_pallas=self.use_pallas, layer_id=sid, name=name,
+                frozen_weights=self.frozen_weights, use_pallas=self.use_pallas,
+                nonneg_input=not self.gelu_variant, layer_id=sid, name=name,
             )(x)
             if final:
                 return x

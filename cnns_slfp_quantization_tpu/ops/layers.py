@@ -129,6 +129,7 @@ class QuantConv(nn.Module):
                 x, weight_q.reshape(weight_q.shape[-2], weight_q.shape[-1]),
                 ka=float(ka), kw=float(kw), bias=bias,
                 stride=tuple(self.strides)[0],
+                nonneg=self.nonneg_input,
                 out_dtype=self.compute_dtype or jnp.float32,
             )
             return y
@@ -147,6 +148,10 @@ class QuantConv(nn.Module):
         if self.capture == "full":
             self.sow("intermediates", "input_q", input_q)
             self.sow("intermediates", "weight_q", weight_q)
+            # the raw input + declared hint, so tests can check nonneg_input
+            self.sow("intermediates", "input_raw", x)
+            self.sow("intermediates", "nonneg_hint",
+                     jnp.asarray(self.nonneg_input))
 
         pad = self.padding
         if isinstance(pad, int):
@@ -224,6 +229,7 @@ class QuantDense(nn.Module):
 
             return fused_matmul.quant_dense(
                 x, weight_q, ka=float(ka), kw=float(kw), bias=bias,
+                nonneg=self.nonneg_input,
                 out_dtype=self.compute_dtype or jnp.float32)
         if packed:
             weight_q = sfp.unpack_slfp34(kernel)
@@ -237,6 +243,9 @@ class QuantDense(nn.Module):
         if self.capture == "full":
             self.sow("intermediates", "input_q", input_q)
             self.sow("intermediates", "weight_q", weight_q)
+            self.sow("intermediates", "input_raw", x)
+            self.sow("intermediates", "nonneg_hint",
+                     jnp.asarray(self.nonneg_input))
 
         y = jnp.dot(
             _maybe_cast(input_q, self.compute_dtype),

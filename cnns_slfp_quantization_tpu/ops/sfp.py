@@ -344,13 +344,18 @@ _D3_LO = np.int32(sum(_D3[j] << (4 * j) for j in range(8)))
 _D3_HI = np.int32(sum(_D3[j + 8] << (4 * j) for j in range(8)))
 
 _PZ16 = np.int32(_bf16_bits(1e-10))       # bf16(pseudo-zero)
-_H16 = np.int32(_bf16_bits(0.125))        # subnormal floor
-_C16_SLFP = np.int32(_bf16_bits(float(SLFP34_CLAMP)))
-_C16_SFP33 = np.int32(_bf16_bits(15.0))
 _I32_LO = _f32_bits(0.0625)
-_I32_HI = _f32_bits(0.125)
+# Clamp/floor via integer min/max instead of compare+select: the clamp
+# literal quantizes to itself through the main path (15.32165 -> top code ->
+# same bf16; 15.0 -> code 15.0), and the floor threshold is the smallest
+# value whose mantissa rounds with carry to the next octave (exactly 0.125):
+# m*16 >= 31.5 <=> a >= 1.96875*2**-4 (SLFP<3,4>), m*8 >= 15.5 <=> a >=
+# 1.9375*2**-4 (SFP<3,3>).  max() then makes the whole [0.0625, 0.125)
+# region round to 0.125 through the main path.
 _I32_CLAMP_SLFP = _f32_bits(float(SLFP34_CLAMP))
 _I32_CLAMP_SFP33 = _f32_bits(15.0)
+_I32_FLOOR_SLFP = _f32_bits(0.123046875)
+_I32_FLOOR_SFP33 = _f32_bits(0.12109375)
 
 
 def _act_bf16_bits(x: jax.Array, recip: float, qbit: int, nonneg: bool) -> jax.Array:
@@ -361,27 +366,24 @@ def _act_bf16_bits(x: jax.Array, recip: float, qbit: int, nonneg: bool) -> jax.A
     # outputs are safe.
     a = bits if nonneg else (bits & np.int32(0x7FFFFFFF))
     if qbit == 8:
+        am = jnp.maximum(jnp.minimum(a, _I32_CLAMP_SLFP), _I32_FLOOR_SLFP)
         # round-half-even of m*16 as a carry-propagating mantissa add
-        t = a + (np.int32(0x3FFFF) + ((a >> 19) & 1))
+        t = am + (np.int32(0x3FFFF) + ((am >> 19) & 1))
         r4 = t >> 19                      # ((e+127)<<4) | j, carry included
         j = r4 & 15
         sel = jnp.where(j >= 8, _D3_HI, _D3_LO)
         d = (sel >> ((j & 7) << 2)) & 15
-        out = ((r4 >> 4) << 7) + ((j << 3) + (d - 3))
-        clamp_bits, clamp16 = _I32_CLAMP_SLFP, _C16_SLFP
-        big = a > clamp_bits              # reference uses > for SLFP<3,4>
+        # r4<<3 == ((e+127)<<7) | (j<<3): exponent+linear fields in one shift
+        out = (r4 << 3) + (d - 3)
     elif qbit == 7:
+        am = jnp.maximum(jnp.minimum(a, _I32_CLAMP_SFP33), _I32_FLOOR_SFP33)
         # SFP<3,3>: linear 3-bit mantissa, exact in bf16's 7 mantissa bits
-        t = a + (np.int32(0x7FFFF) + ((a >> 20) & 1))
+        t = am + (np.int32(0x7FFFF) + ((am >> 20) & 1))
         r3 = t >> 20
-        out = ((r3 >> 3) << 7) + ((r3 & 7) << 4)
-        clamp_bits, clamp16 = _I32_CLAMP_SFP33, _C16_SFP33
-        big = a >= clamp_bits             # reference uses >= for SFP<3,3>
+        out = r3 << 4                     # ((e+127)<<7) | (j3<<4)
     else:  # pragma: no cover
         raise ValueError(f"unsupported qbit {qbit}")
-    out = jnp.where(a < _I32_LO, jnp.where(a == 0, np.int32(0), _PZ16),
-                    jnp.where(a < _I32_HI, _H16, out))
-    out = jnp.where(big, clamp16, out)
+    out = jnp.where(a < _I32_LO, jnp.where(a == 0, np.int32(0), _PZ16), out)
     if not nonneg:
         out = out | ((bits >> 16) & np.int32(0x8000))
     return jax.lax.bitcast_convert_type(out.astype(jnp.uint16), jnp.bfloat16)

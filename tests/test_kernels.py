@@ -113,7 +113,9 @@ def test_fused_dense_custom_vjp_ste():
         out = fused_matmul.quant_dense(x, wq, ka=ka, kw=kw, bias=bias)
     g = 2 * out  # d(sum y^2)/dy
     want_dx = np.asarray((g.astype(jnp.float32) @ wq.T) * kw)
-    xq = sfp.quantize_act(x / ka, 8)
+    # dw uses the bf16-rounded xq — the same values the forward's MXU dot
+    # actually consumed (fused_matmul._diff_matmul.bwd)
+    xq = sfp.quantize_act(x / ka, 8).astype(jnp.bfloat16).astype(jnp.float32)
     want_dw = np.asarray((xq.T @ g.astype(jnp.float32)) * (ka * kw))
     want_db = np.asarray(jnp.sum(g, axis=0))
     np.testing.assert_allclose(np.asarray(grads[0]), want_dx, rtol=1e-4, atol=1e-4)
