@@ -16,8 +16,10 @@ import jax.numpy as jnp
 
 def _map_quant_kernels(model_capture_full, variables, sample_input, fn):
     """Replace every quant-layer kernel with ``fn(weight_q, old_kernel)``."""
-    _, inter = model_capture_full.apply(
-        variables, sample_input, train=False, mutable=["intermediates"])
+    _, inter = jax.jit(
+        lambda v, x: model_capture_full.apply(
+            v, x, train=False, mutable=["intermediates"])
+    )(variables, sample_input)
     inter = inter["intermediates"]
 
     def walk(params, captured):

@@ -23,4 +23,12 @@ from jax.extend import backend as _jexb  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 _jexb.clear_backends()
 
+# Persistent compilation cache: the suite is compile-dominated (whole-model
+# jits at several batch sizes); caching compiled executables across runs cuts
+# a full re-run from ~13 min to ~2 min.
+os.makedirs("/tmp/jax_test_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 assert len(jax.devices()) == 8 and jax.devices()[0].platform == "cpu"

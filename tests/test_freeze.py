@@ -2,6 +2,10 @@
 
 import jax
 import jax.numpy as jnp
+
+
+def _japply(m):
+    return jax.jit(lambda v, x: m.apply(v, x, train=False))
 import numpy as np
 
 from cnns_slfp_quantization_tpu import models
@@ -13,12 +17,12 @@ def test_prequantized_forward_identical():
     x = jax.random.normal(rng, (2, 32, 32, 3))
     m = models.create_model("mobilenet", 8)
     v = m.init(rng, x, train=False)
-    want = np.asarray(m.apply(v, x, train=False))
+    want = np.asarray(_japply(m)(v, x))
 
     cap = models.create_model("mobilenet", 8, capture="full")
     v_frozen = freeze.prequantize_variables(cap, v, x[:1])
     m_frozen = models.create_model("mobilenet", 8, frozen_weights=True)
-    got = np.asarray(m_frozen.apply(v_frozen, x, train=False))
+    got = np.asarray(_japply(m_frozen)(v_frozen, x))
     np.testing.assert_array_equal(got, want)
 
 
@@ -29,7 +33,7 @@ def test_packed_uint8_forward_close():
     x = jax.random.normal(rng, (2, 32, 32, 3))
     m = models.create_model("mobilenet", 8)
     v = m.init(rng, x, train=False)
-    want = np.asarray(m.apply(v, x, train=False))
+    want = np.asarray(_japply(m)(v, x))
 
     cap = models.create_model("mobilenet", 8, capture="full")
     v_packed = freeze.pack_variables(cap, v, x[:1])
@@ -37,7 +41,7 @@ def test_packed_uint8_forward_close():
                if p.dtype == jnp.uint8]
     assert len(kernels) == 28  # every quant layer stored as codes
     m_frozen = models.create_model("mobilenet", 8, frozen_weights=True)
-    got = np.asarray(m_frozen.apply(v_packed, x, train=False))
+    got = np.asarray(_japply(m_frozen)(v_packed, x))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
@@ -53,6 +57,7 @@ def test_bf16_frozen_matches_runtime_cast():
     v_bf16 = freeze.prequantize_variables(cap, v, x[:1], dtype=jnp.bfloat16)
     mf = models.create_model("mobilenet", 8, frozen_weights=True,
                              compute_dtype=jnp.bfloat16, use_pallas=False)
-    a = np.asarray(mf.apply(v_f32, x, train=False), np.float32)
-    b = np.asarray(mf.apply(v_bf16, x, train=False), np.float32)
+    fa = _japply(mf)
+    a = np.asarray(fa(v_f32, x), np.float32)
+    b = np.asarray(fa(v_bf16, x), np.float32)
     np.testing.assert_array_equal(a, b)

@@ -33,8 +33,8 @@ def test_nonneg_hints_match_dataflow(name, size):
     model = models.create_model(name, 8, capture="full")
     x = jax.random.normal(jax.random.PRNGKey(0), (2, size, size, 3))
     variables = model.init(jax.random.PRNGKey(1), x, train=False)
-    _, state = model.apply(variables, x, train=False,
-                           mutable=["intermediates"])
+    _, state = jax.jit(lambda v, xx: model.apply(
+        v, xx, train=False, mutable=["intermediates"]))(variables, x)
     checked = 0
     for path, cap in _iter_captures(state["intermediates"]):
         hint = bool(np.asarray(cap["nonneg_hint"][0]))

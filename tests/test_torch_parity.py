@@ -77,7 +77,8 @@ def _compare(tmodel, jmodel, x_nchw, *, qbit):
     variables = jmodel.init(jax.random.PRNGKey(0), x_nhwc, train=False)
     variables = checkpoint.import_torch_state_dict(
         tmodel.state_dict(), variables)
-    got = np.asarray(jmodel.apply(variables, x_nhwc, train=False))
+    got = np.asarray(jax.jit(
+        lambda v, x: jmodel.apply(v, x, train=False))(variables, x_nhwc))
 
     assert got.shape == want.shape
     if qbit == 32:
