@@ -1,0 +1,166 @@
+"""Fully-fused SLFP8 ResNet-50 inference path (TPU serving fast path).
+
+A functional executor over the *same* variables dict as
+:class:`models.resnet50.ResNet50` (params + batch_stats, identical names),
+but with every bottleneck expressed as a chain of fused kernels so no
+standalone elementwise pass ever touches HBM:
+
+  conv1  : Pallas ``qmm_fused`` — prologue SLFP act quantize (or shared
+           pre-quantized input at block 0), MXU matmul, epilogue
+           Ka*Kw+BN fold, ReLU and the *next* layer's quantize.
+  conv2  : XLA 3x3 conv (already MXU-tiled) on pre-quantized input; its
+           BN+ReLU+quantize epilogue fuses into the conv kernel (kOutput).
+  conv3  : Pallas or XLA per ``policy`` — epilogue adds the residual and
+           applies ReLU, emitting the raw bf16 block output.
+  block 0: conv1 and the downsample conv share one quantized input (their
+           calibrated Ka are equal — same producer tensor; verified for the
+           reference constants), produced by one fused XLA pass; the
+           downsample conv runs in XLA (native stride-2).
+
+Semantics follow the reference bottleneck (nets_imgnet/resnet50.py:71-90)
+and quantized-conv scaling (utils/conv2d_func.py:20-25); weights must be
+pre-quantized (``ops.freeze.prequantize_variables``).  BatchNorm is folded
+into the epilogue affine in f32 — same math as inference BN, fused.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cnns_slfp_quantization_tpu.kernels import qmm
+
+_STAGES = [  # (planes, blocks, stride, scale_base) — mirror resnet50.py
+    (64, 3, 1, 1),
+    (128, 4, 2, 11),
+    (256, 6, 2, 24),
+    (512, 3, 2, 43),
+]
+
+# Per-layer implementation choice, tuned on TPU v5e batch-256 (docs/DESIGN.md):
+# Pallas wins on the K>=256 reduction matmuls (conv1), XLA keeps the
+# expansion matmuls (conv3) and everything spatial.
+DEFAULT_POLICY = {"conv1": "pallas", "conv3": "xla"}
+
+
+def _bn_fold(params, stats, extra_scale: float):
+    """Folded inference BN affine: y*scale + shift, with Ka*Kw pre-merged."""
+    scale = params["scale"] / jnp.sqrt(stats["var"] + 1e-5)
+    shift = params["bias"] - stats["mean"] * scale
+    return (scale * np.float32(extra_scale)).astype(jnp.float32), \
+        shift.astype(jnp.float32)
+
+
+def _xla_conv(xq, w, *, stride=1, pad=0):
+    return jax.lax.conv_general_dilated(
+        xq.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+
+
+def fused_apply(variables, x, *, scales, num_classes: int = 1000,
+                policy: Optional[dict] = None,
+                interpret: Optional[bool] = None) -> jax.Array:
+    """SLFP8 ResNet-50 forward on pre-quantized (frozen) variables."""
+    pol = dict(DEFAULT_POLICY, **(policy or {}))
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    ka, kw = scales.ka, scales.kw
+
+    def kaw(sid):
+        return float(ka[sid]) * float(kw[sid])
+
+    def recip(sid):
+        return float(1.0 / np.float64(np.float32(ka[sid])))
+
+    def pallas_mm(xf, wname, sid, bn, **kw_args):
+        w = params[wname]["kernel"]
+        w2 = w.reshape(w.shape[-2], w.shape[-1])
+        s, t = _bn_fold(params[bn], stats[bn], kaw(sid))
+        lead = xf.shape[:-1]
+        y = qmm.qmm_fused(xf.reshape(-1, xf.shape[-1]), w2, s, t,
+                          interpret=interpret, **kw_args)
+        return y.reshape(*lead, y.shape[-1])
+
+    def xla_post(y, sid, bn, *, residual=None, relu=True, quant_next=None):
+        s, t = _bn_fold(params[bn], stats[bn], kaw(sid))
+        y = y * s + t
+        if residual is not None:
+            y = y + residual.astype(jnp.float32)
+        if relu:
+            y = jnp.maximum(y, 0.0)
+        if quant_next is not None:
+            return qmm.quantize_act_pass(y, recip(quant_next))
+        return y.astype(jnp.bfloat16)
+
+    # --- stem: 7x7/2 XLA conv, signed input quantize, BN+ReLU, maxpool ----
+    xq = qmm.quantize_act_pass(x, recip(0), nonneg=False)
+    y = _xla_conv(xq, params["conv1"]["kernel"], stride=2, pad=3)
+    y = xla_post(y, 0, "bn1")
+    y = jax.lax.reduce_window(
+        y, -jnp.inf if y.dtype == jnp.float32 else jnp.bfloat16(-jnp.inf),
+        jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    xr = y  # raw bf16 stream
+    for s_idx, (planes, blocks, stride, base) in enumerate(_STAGES):
+        for b in range(blocks):
+            bstride = stride if b == 0 else 1
+            pre = f"layer{s_idx + 1}_{b}"
+            sid = base + 3 * b
+            has_ds = b == 0
+            if has_ds:
+                # conv1 & downsample share Ka (same producer tensor):
+                # one fused quantize pass, both consume pre-quantized input.
+                xq_sh = qmm.quantize_act_pass(xr, recip(sid + 1))
+                identity = _xla_conv(
+                    xq_sh, params[f"{pre}_down_conv"]["kernel"],
+                    stride=bstride)
+                identity = xla_post(identity, base, f"{pre}_down_bn",
+                                    relu=False)
+                c1_in, c1_recip = xq_sh, None
+            else:
+                identity = xr
+                c1_in, c1_recip = xr, recip(sid + 1)
+
+            # conv1 (1x1): quantize->mm->BN+ReLU->quantize-for-conv2
+            if pol["conv1"] == "pallas":
+                y1q = pallas_mm(
+                    c1_in, f"{pre}_conv1", sid + 1, f"{pre}_bn1",
+                    relu=True, quant_in_recip=c1_recip,
+                    quant_out_recip=recip(sid + 2))
+            else:
+                c1q = (c1_in if c1_recip is None
+                       else qmm.quantize_act_pass(c1_in, c1_recip))
+                y1 = _xla_conv(c1q, params[f"{pre}_conv1"]["kernel"])
+                y1q = xla_post(y1, sid + 1, f"{pre}_bn1",
+                               quant_next=sid + 2)
+
+            # conv2 (3x3, stride): XLA conv; epilogue fuses into the conv
+            y2 = _xla_conv(y1q, params[f"{pre}_conv2"]["kernel"],
+                           stride=bstride, pad=1)
+            y2q = xla_post(y2, sid + 2, f"{pre}_bn2", quant_next=sid + 3)
+
+            # conv3 (1x1): mm->BN->+identity->ReLU -> raw block output
+            if pol["conv3"] == "pallas":
+                xr = pallas_mm(
+                    y2q, f"{pre}_conv3", sid + 3, f"{pre}_bn3",
+                    relu=True,
+                    residual=identity.reshape(-1, identity.shape[-1]))
+            else:
+                y3 = _xla_conv(y2q, params[f"{pre}_conv3"]["kernel"])
+                xr = xla_post(y3, sid + 3, f"{pre}_bn3", residual=identity)
+
+    # --- head: global avgpool + quantized FC (linear_Q semantics) ---------
+    xa = jnp.mean(xr.astype(jnp.float32), axis=(1, 2))
+    xq = qmm.quantize_act_pass(xa, recip(53))
+    wfc = params["fc"]["kernel"]
+    y = jnp.dot(xq, wfc.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+    y = (y + params["fc"]["bias"] / np.float32(kaw(53))) * np.float32(kaw(53))
+    return y.astype(jnp.bfloat16)

@@ -1,0 +1,46 @@
+"""Fused ResNet-50 inference path vs the reference module path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cnns_slfp_quantization_tpu import calib, models
+from cnns_slfp_quantization_tpu.models import resnet50_fused
+from cnns_slfp_quantization_tpu.ops import freeze
+
+
+@pytest.fixture(scope="module")
+def frozen_resnet():
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 64, 64, 3), jnp.float32)
+    m = models.create_model("resnet", 8)
+    v = m.init(jax.random.PRNGKey(1), x[:1], train=False)
+    cap = models.create_model("resnet", 8, capture="full")
+    vf = freeze.prequantize_variables(cap, v, x[:1], dtype=jnp.bfloat16)
+    mb = models.create_model("resnet", 8, compute_dtype=jnp.bfloat16,
+                             frozen_weights=True, use_pallas=False)
+    want = np.asarray(jax.jit(
+        lambda v, x: mb.apply(v, x, train=False))(vf, x), np.float32)
+    return vf, x, want
+
+
+@pytest.mark.parametrize("policy", [
+    {"conv1": "pallas", "conv3": "xla"},
+    {"conv1": "xla", "conv3": "xla"},
+    {"conv1": "pallas", "conv3": "pallas"},
+])
+def test_fused_apply_matches_module(frozen_resnet, policy):
+    vf, x, want = frozen_resnet
+    scales = calib.load_scales("resnet50_imgnet")
+    got = np.asarray(jax.jit(
+        lambda v, x: resnet50_fused.fused_apply(
+            v, x, scales=scales, policy=policy))(vf, x), np.float32)
+    assert got.shape == want.shape
+    # BN-fold in f32 + f32 residual adds vs the module's bf16 stream: small
+    # elementwise drift that can flip quantization bins on deep paths —
+    # compare direction + prediction, like the torch-parity tests.
+    cos = float(np.sum(got * want) /
+                (np.linalg.norm(got) * np.linalg.norm(want) + 1e-30))
+    assert cos > 0.995, f"policy={policy}: cos={cos}"
+    np.testing.assert_array_equal(np.argmax(got, -1), np.argmax(want, -1))
