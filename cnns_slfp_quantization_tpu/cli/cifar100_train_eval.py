@@ -57,7 +57,8 @@ def main(argv=None):
 
         print("==> Preparing data ..")
         train_batches, eval_batches = cifar_data.make_iterators(
-            cfg.data_dir, cfg.cifar, cfg.train_batch_size, cfg.eval_batch_size)
+            cfg.data_dir, cfg.cifar, cfg.train_batch_size, cfg.eval_batch_size,
+            train_subset=cfg.train_subset)
 
     print("=> creating model", cfg.net, "...")
     model, variables = common.build_model(cfg, cfg.net, image_size=32)

@@ -48,6 +48,10 @@ def add_common_args(parser):
     parser.add_argument("--num_workers", type=int, default=4)
     parser.add_argument("--synthetic", action="store_true", default=False,
                         help="use generated data (no dataset needed)")
+    parser.add_argument("--train_subset", type=float, default=1.0,
+                        help="class-stratified fraction of the train set for "
+                             "fine-tune recovery (reference README.md:12 "
+                             "claims 6%% suffices: --train_subset 0.06)")
     parser.add_argument("--compute_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
                         help="conv/matmul compute dtype (bfloat16 = MXU rate)")

@@ -53,7 +53,8 @@ def main(argv=None):
 
         train_batches = imagenet.ImageNetIterator(
             os.path.join(cfg.data_dir, "train"), cfg.train_batch_size,
-            train=True, workers=cfg.num_workers)
+            train=True, workers=cfg.num_workers,
+            subset_fraction=cfg.train_subset)
         eval_batches = imagenet.ImageNetIterator(
             os.path.join(cfg.data_dir, "val"), cfg.eval_batch_size,
             train=False, workers=cfg.num_workers)

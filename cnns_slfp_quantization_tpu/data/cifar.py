@@ -87,9 +87,15 @@ class CifarIterator:
 
 def make_iterators(data_dir: str, num_classes: int, train_batch: int,
                    eval_batch: int, seed: int = 0,
-                   drop_remainder: bool = False):
+                   drop_remainder: bool = False,
+                   train_subset: float = 1.0):
     tr_im, tr_lb = load_cifar(data_dir, num_classes, train=True)
     ev_im, ev_lb = load_cifar(data_dir, num_classes, train=False)
+    if train_subset < 1.0:
+        from cnns_slfp_quantization_tpu.data import subset
+
+        sel = subset.stratified_indices(tr_lb, train_subset, seed)
+        tr_im, tr_lb = tr_im[sel], tr_lb[sel]
     return (
         CifarIterator(tr_im, tr_lb, train_batch, train=True, seed=seed,
                       drop_remainder=drop_remainder),

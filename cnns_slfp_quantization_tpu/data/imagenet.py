@@ -36,8 +36,16 @@ def index_image_folder(root: str):
 class ImageNetIterator:
     def __init__(self, root: str, batch_size: int, *, train: bool,
                  seed: int = 0, workers: int = 4,
-                 max_images: Optional[int] = None):
+                 max_images: Optional[int] = None,
+                 subset_fraction: float = 1.0):
         self.paths, self.labels, self.classes = index_image_folder(root)
+        if subset_fraction < 1.0:
+            from cnns_slfp_quantization_tpu.data import subset as subset_lib
+
+            sel = subset_lib.stratified_indices(
+                self.labels, subset_fraction, seed)
+            self.paths = [self.paths[i] for i in sel]
+            self.labels = self.labels[sel]
         if max_images is not None:
             self.paths = self.paths[:max_images]
             self.labels = self.labels[:max_images]
