@@ -34,7 +34,8 @@ from cnns_slfp_quantization_tpu.utils.profiling import scan_throughput  # noqa: 
 
 
 def main():
-    from cnns_slfp_quantization_tpu import models
+    from cnns_slfp_quantization_tpu import calib, models
+    from cnns_slfp_quantization_tpu.models import resnet50_fused
     from cnns_slfp_quantization_tpu.ops import freeze
 
     batch = 256
@@ -44,19 +45,24 @@ def main():
     results = {}
     for tag, qbit in (("slfp8", 8), ("fp32", 32)):
         if qbit == 8:
-            # inference config: bf16 activation stream + offline-quantized
-            # weights (bit-identical outputs to the QAT-path forward).
-            # use_pallas=False: on this relay-attached chip the XLA conv path
-            # with the split-magic quantize epilogue measures ~27% faster
-            # than the fused Pallas 1x1 kernels (A/B in docs/DESIGN.md).
-            model = models.create_model(
-                "resnet", 8, compute_dtype=jnp.bfloat16, frozen_weights=True,
-                use_pallas=False)
+            # inference config: the fused serving executor (BN folded into
+            # the Ka*Kw affine, stage-boundary quantize shared between conv1
+            # and downsample, bf16 stream) over offline-quantized weights —
+            # +8% over the module path, which itself A/B'd faster than the
+            # Pallas 1x1 kernels at these shapes (docs/DESIGN.md).
             init_model = models.create_model("resnet", 8)
             variables = init_model.init(jax.random.PRNGKey(1), x[:1], train=False)
             cap = models.create_model("resnet", 8, capture="full")
             variables = freeze.prequantize_variables(cap, variables, x[:1],
                                                      dtype=jnp.bfloat16)
+            scales = calib.load_scales("resnet50_imgnet")
+
+            class _Fused:
+                @staticmethod
+                def apply(v, xx, train=False):
+                    return resnet50_fused.fused_apply(v, xx, scales=scales)
+
+            model = _Fused()
         else:
             model = models.create_model("resnet", 32)
             variables = model.init(jax.random.PRNGKey(1), x[:1], train=False)

@@ -13,12 +13,14 @@ elementwise passes —
             *next* layer's act quantize, so the consumer kernel (Pallas or
             XLA conv) reads ready-to-multiply values.
 
-Why this beats leaving it to XLA (measured on TPU v5e, batch-256 ResNet-50
-1x1 shapes, docs/DESIGN.md): XLA fuses the quantize chain into the producer
-conv's output epilogue where its ~24 VPU ops/element serialize with the
-convolution; here the quantize runs tile-by-tile interleaved with MXU work
-and its cost is largely hidden (1.5-1.7x per-layer at the K>=512 reduction
-shapes).
+Measured honestly (TPU v5e, batch-256 ResNet-50, docs/DESIGN.md): inside the
+full network this kernel LOSES to XLA's conv+epilogue fusion (5389 vs 9582
+img/s with the same fused-executor structure) — the whole-K weight-stationary
+tiling cannot match XLA's conv pipelining at these shapes.  It is kept as the
+uint8-packed serving option (pass ``w`` as uint8 SLFP codes: 4x less weight
+HBM, decoded in VMEM) and as the substrate for shapes where a fused prologue
+does win; the throughput gains went into ``models/resnet50_fused.py``'s
+BN-folding executor instead.
 
 Reference semantics implemented: conv2d_func.py:20-25 (quantize/rescale),
 resnet50.py:71-90 (bottleneck epilogue order: BN -> +identity -> ReLU).
@@ -69,7 +71,14 @@ def _kernel(x_ref, w_ref, s_ref, t_ref, *rest, quant_in, nonneg_in, relu,
         xq = _act_bf16_bits(x_ref[:], recip_in, 8, nonneg_in)
     else:
         xq = x_ref[:].astype(jnp.bfloat16)
-    y = jnp.dot(xq, w_ref[:], preferred_element_type=jnp.float32)
+    if w_ref.dtype == jnp.uint8:
+        from cnns_slfp_quantization_tpu.kernels.fused_matmul import (
+            slfp34_decode_bits)
+
+        w = slfp34_decode_bits(w_ref[:]).astype(jnp.bfloat16)
+    else:
+        w = w_ref[:]
+    y = jnp.dot(xq, w, preferred_element_type=jnp.float32)
     y = y * s_ref[:] + t_ref[:]
     if have_residual:
         y = y + r_ref[:].astype(jnp.float32)
@@ -136,7 +145,7 @@ def qmm_fused(
         pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
-    args = [x, w.astype(jnp.bfloat16),
+    args = [x, w if w.dtype == jnp.uint8 else w.astype(jnp.bfloat16),
             scale.reshape(1, N).astype(jnp.float32),
             shift.reshape(1, N).astype(jnp.float32)]
     if residual is not None:

@@ -2,20 +2,26 @@
 
 A functional executor over the *same* variables dict as
 :class:`models.resnet50.ResNet50` (params + batch_stats, identical names),
-but with every bottleneck expressed as a chain of fused kernels so no
+but with every bottleneck expressed as a chain of fused stages so no
 standalone elementwise pass ever touches HBM:
 
-  conv1  : Pallas ``qmm_fused`` — prologue SLFP act quantize (or shared
-           pre-quantized input at block 0), MXU matmul, epilogue
-           Ka*Kw+BN fold, ReLU and the *next* layer's quantize.
+  conv1  : 1x1 conv on pre-quantized input (or with a fused quantize
+           prologue), epilogue Ka*Kw+BN fold, ReLU and the *next* layer's
+           quantize — via XLA (default, fastest measured) or the Pallas
+           ``qmm_fused`` kernel (``policy``, kept for packed serving).
   conv2  : XLA 3x3 conv (already MXU-tiled) on pre-quantized input; its
            BN+ReLU+quantize epilogue fuses into the conv kernel (kOutput).
-  conv3  : Pallas or XLA per ``policy`` — epilogue adds the residual and
-           applies ReLU, emitting the raw bf16 block output.
+  conv3  : epilogue adds the residual and applies ReLU, emitting the raw
+           bf16 block output.
   block 0: conv1 and the downsample conv share one quantized input (their
            calibrated Ka are equal — same producer tensor; verified for the
            reference constants), produced by one fused XLA pass; the
            downsample conv runs in XLA (native stride-2).
+
+Vs the module path (``models/resnet50.py``, ``use_pallas=False``): +8%
+measured (9582 vs 8873 img/s, TPU v5e batch 256) — BatchNorm folds into the
+Ka*Kw affine offline instead of running as a separate normalize, and stage
+boundaries share one quantize pass between conv1 and the downsample conv.
 
 Semantics follow the reference bottleneck (nets_imgnet/resnet50.py:71-90)
 and quantized-conv scaling (utils/conv2d_func.py:20-25); weights must be
@@ -40,10 +46,13 @@ _STAGES = [  # (planes, blocks, stride, scale_base) — mirror resnet50.py
     (512, 3, 2, 43),
 ]
 
-# Per-layer implementation choice, tuned on TPU v5e batch-256 (docs/DESIGN.md):
-# Pallas wins on the K>=256 reduction matmuls (conv1), XLA keeps the
-# expansion matmuls (conv3) and everything spatial.
-DEFAULT_POLICY = {"conv1": "pallas", "conv3": "xla"}
+# Per-layer implementation choice, A/B'd on TPU v5e batch-256 (docs/DESIGN.md):
+# the all-XLA executor wins (9582 img/s vs 8873 module path vs 5389 with
+# Pallas conv1) — the throughput gain comes from the BN fold + shared
+# quantize structure, not from hand-written matmuls; XLA's conv pipelining
+# beats the whole-K weight-stationary Pallas tiling at these shapes.  The
+# Pallas policy values remain for the uint8-packed serving experiments.
+DEFAULT_POLICY = {"conv1": "xla", "conv3": "xla"}
 
 
 def _bn_fold(params, stats, extra_scale: float):
@@ -63,8 +72,41 @@ def _xla_conv(xq, w, *, stride=1, pad=0):
         preferred_element_type=jnp.float32)
 
 
+def _space_to_depth_stem(xq, w, *, block=2):
+    """7x7/s2/p3 stem conv as a 4x4/s1 conv on 2x2 space-to-depth input.
+
+    Mathematically exact rewrite (same sum, zero-padded kernel taps): the
+    3-channel 7x7 conv runs at ~9% MXU input-channel utilization; the s2d
+    form feeds 12 channels with a 4x4 kernel, the standard TPU ResNet stem
+    trick.  Operates on already-quantized input (s2d is a permutation, so it
+    commutes with the elementwise quantizer).
+    """
+    n, h, wdt, c = xq.shape
+    # reference output extent of conv 7x7/s2/p3 (x rows 2i-3 .. 2i+3)
+    oh, ow = (h - 1) // 2 + 1, (wdt - 1) // 2 + 1
+    # pad by (3, 5): the leading p=3, and enough trailing zeros that the
+    # padded extent (h+8) is even for the block-2 rearrangement; the one
+    # extra VALID output row/col this creates is sliced off below.
+    xp = jnp.pad(xq, ((0, 0), (3, 5), (3, 5), (0, 0)))
+    hp, wp = h + 8, wdt + 8
+    s2d = xp.reshape(n, hp // 2, 2, wp // 2, 2, c).transpose(
+        0, 1, 3, 2, 4, 5).reshape(n, hp // 2, wp // 2, 4 * c)
+    # kernel: 7x7xCx64, zero-pad taps to 8x8, split each axis into
+    # (outer=4, parity=2) and fold the parities into the input-channel dim in
+    # the same (row-parity, col-parity, channel) order as the s2d reshape.
+    w8 = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))
+    w4 = w8.reshape(4, 2, 4, 2, c, w.shape[-1]).transpose(
+        0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, w.shape[-1])
+    y = jax.lax.conv_general_dilated(
+        s2d.astype(jnp.bfloat16), w4.astype(jnp.bfloat16),
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return y[:, :oh, :ow, :]
+
+
 def fused_apply(variables, x, *, scales, num_classes: int = 1000,
-                policy: Optional[dict] = None,
+                policy: Optional[dict] = None, s2d_stem: bool = True,
                 interpret: Optional[bool] = None) -> jax.Array:
     """SLFP8 ResNet-50 forward on pre-quantized (frozen) variables."""
     pol = dict(DEFAULT_POLICY, **(policy or {}))
@@ -100,7 +142,10 @@ def fused_apply(variables, x, *, scales, num_classes: int = 1000,
 
     # --- stem: 7x7/2 XLA conv, signed input quantize, BN+ReLU, maxpool ----
     xq = qmm.quantize_act_pass(x, recip(0), nonneg=False)
-    y = _xla_conv(xq, params["conv1"]["kernel"], stride=2, pad=3)
+    if s2d_stem:
+        y = _space_to_depth_stem(xq, params["conv1"]["kernel"])
+    else:
+        y = _xla_conv(xq, params["conv1"]["kernel"], stride=2, pad=3)
     y = xla_post(y, 0, "bn1")
     y = jax.lax.reduce_window(
         y, -jnp.inf if y.dtype == jnp.float32 else jnp.bfloat16(-jnp.inf),
