@@ -36,8 +36,16 @@ class InferenceEngine:
         pack_weights: bool = False,
         compute_dtype=jnp.bfloat16,
         use_pallas: Optional[bool] = False,
+        fused: Optional[bool] = None,
         mesh=None,
     ):
+        # fused=None (auto): the BN-folded fused executor for SLFP8
+        # ResNet-50 with float frozen weights (+8% measured, bench.py's
+        # configuration); explicit True/False overrides.
+        if fused is None:
+            fused = net in ("resnet", "imgnet/resnet") and qbit == 8 \
+                and not pack_weights
+        self.fused = fused
         self.batch_size = batch_size
         self.image_size = image_size or (
             32 if net in models.MODEL_NAMES["cifar"] else 224)
@@ -64,9 +72,22 @@ class InferenceEngine:
                 variables = freeze.prequantize_variables(cap, variables, sample)
         self.variables = variables
 
-        self.model = models.create_model(
-            net, qbit, compute_dtype=compute_dtype,
-            frozen_weights=frozen, use_pallas=use_pallas)
+        if self.fused:
+            from cnns_slfp_quantization_tpu import calib
+            from cnns_slfp_quantization_tpu.models import resnet50_fused
+
+            scales = calib.load_scales("resnet50_imgnet")
+
+            class _FusedModel:
+                @staticmethod
+                def apply(v, x, train=False):
+                    return resnet50_fused.fused_apply(v, x, scales=scales)
+
+            self.model = _FusedModel()
+        else:
+            self.model = models.create_model(
+                net, qbit, compute_dtype=compute_dtype,
+                frozen_weights=frozen, use_pallas=use_pallas)
         self._forward = jax.jit(
             lambda v, x: self.model.apply(v, x, train=False))
         if mesh is not None:

@@ -23,3 +23,18 @@ def test_engine_fp32_passthrough():
                           compute_dtype=None)
     x = np.zeros((2, 32, 32, 3), np.float32)
     assert eng.predict(x).shape == (2, 100)
+
+
+def test_engine_fused_resnet():
+    # auto-selects the fused executor for SLFP8 ResNet-50
+    eng = InferenceEngine("resnet", qbit=8, batch_size=2, image_size=64)
+    assert eng.fused
+    x = np.random.default_rng(1).normal(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    logits = eng.predict(x)
+    assert logits.shape == (2, 1000)
+    assert np.isfinite(logits).all()
+    # module-path engine agrees on predictions
+    ref = InferenceEngine("resnet", qbit=8, batch_size=2, image_size=64,
+                          fused=False)
+    ref.variables = eng.variables
+    np.testing.assert_array_equal(eng.classify(x), ref.classify(x))
