@@ -55,14 +55,7 @@ def main():
             cap = models.create_model("resnet", 8, capture="full")
             variables = freeze.prequantize_variables(cap, variables, x[:1],
                                                      dtype=jnp.bfloat16)
-            scales = calib.load_scales("resnet50_imgnet")
-
-            class _Fused:
-                @staticmethod
-                def apply(v, xx, train=False):
-                    return resnet50_fused.fused_apply(v, xx, scales=scales)
-
-            model = _Fused()
+            model = resnet50_fused.as_model(calib.load_scales("resnet50_imgnet"))
         else:
             model = models.create_model("resnet", 32)
             variables = model.init(jax.random.PRNGKey(1), x[:1], train=False)

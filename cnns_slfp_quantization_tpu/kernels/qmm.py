@@ -33,7 +33,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -85,7 +84,8 @@ def _kernel(x_ref, w_ref, s_ref, t_ref, *rest, quant_in, nonneg_in, relu,
     if relu:
         y = jnp.maximum(y, 0.0)
     if quant_out:
-        o_ref[:] = _act_bf16_bits(y, recip_out, 8, True).astype(o_ref.dtype)
+        # post-ReLU outputs are provably nonneg; otherwise keep sign handling
+        o_ref[:] = _act_bf16_bits(y, recip_out, 8, relu).astype(o_ref.dtype)
     else:
         o_ref[:] = y.astype(o_ref.dtype)
 
@@ -162,7 +162,11 @@ def qmm_fused(
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * K * N,
-            bytes_accessed=Mp * K * 2 + K * N * 2 + Mp * N * 2,
+            bytes_accessed=(Mp * K * x.dtype.itemsize
+                            + K * N * (1 if w.dtype == jnp.uint8 else 2)
+                            + (Mp * N * residual.dtype.itemsize
+                               if residual is not None else 0)
+                            + Mp * N * 2),
             transcendentals=0,
         ),
         interpret=interpret,

@@ -38,13 +38,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from cnns_slfp_quantization_tpu.kernels import qmm
-
-_STAGES = [  # (planes, blocks, stride, scale_base) — mirror resnet50.py
-    (64, 3, 1, 1),
-    (128, 4, 2, 11),
-    (256, 6, 2, 24),
-    (512, 3, 2, 43),
-]
+# (planes, blocks, stride, scale_base): the load-bearing layout contract is
+# shared with the module model, not duplicated.
+from cnns_slfp_quantization_tpu.models.resnet50 import _STAGES
 
 # Per-layer implementation choice, A/B'd on TPU v5e batch-256 (docs/DESIGN.md):
 # the all-XLA executor wins (9582 img/s vs 8873 module path vs 5389 with
@@ -53,6 +49,20 @@ _STAGES = [  # (planes, blocks, stride, scale_base) — mirror resnet50.py
 # beats the whole-K weight-stationary Pallas tiling at these shapes.  The
 # Pallas policy values remain for the uint8-packed serving experiments.
 DEFAULT_POLICY = {"conv1": "xla", "conv3": "xla"}
+
+
+def as_model(scales, **kwargs):
+    """An object with the flax ``apply(variables, x, train=...)`` calling
+    convention, running :func:`fused_apply` — what bench.py / serve.py /
+    scan_throughput consume."""
+
+    class _FusedModel:
+        @staticmethod
+        def apply(variables, x, train=False):
+            assert not train, "fused_apply is inference-only"
+            return fused_apply(variables, x, scales=scales, **kwargs)
+
+    return _FusedModel()
 
 
 def _bn_fold(params, stats, extra_scale: float):
@@ -72,7 +82,7 @@ def _xla_conv(xq, w, *, stride=1, pad=0):
         preferred_element_type=jnp.float32)
 
 
-def _space_to_depth_stem(xq, w, *, block=2):
+def _space_to_depth_stem(xq, w):
     """7x7/s2/p3 stem conv as a 4x4/s1 conv on 2x2 space-to-depth input.
 
     Mathematically exact rewrite (same sum, zero-padded kernel taps): the
@@ -84,11 +94,12 @@ def _space_to_depth_stem(xq, w, *, block=2):
     n, h, wdt, c = xq.shape
     # reference output extent of conv 7x7/s2/p3 (x rows 2i-3 .. 2i+3)
     oh, ow = (h - 1) // 2 + 1, (wdt - 1) // 2 + 1
-    # pad by (3, 5): the leading p=3, and enough trailing zeros that the
-    # padded extent (h+8) is even for the block-2 rearrangement; the one
+    # pad: the leading p=3, and enough trailing zeros that the padded extent
+    # is even for the block-2 rearrangement (5 for even h, 4 for odd); any
     # extra VALID output row/col this creates is sliced off below.
-    xp = jnp.pad(xq, ((0, 0), (3, 5), (3, 5), (0, 0)))
-    hp, wp = h + 8, wdt + 8
+    ph, pw_ = 5 - (h & 1), 5 - (wdt & 1)
+    xp = jnp.pad(xq, ((0, 0), (3, ph), (3, pw_), (0, 0)))
+    hp, wp = h + 3 + ph, wdt + 3 + pw_
     s2d = xp.reshape(n, hp // 2, 2, wp // 2, 2, c).transpose(
         0, 1, 3, 2, 4, 5).reshape(n, hp // 2, wp // 2, 4 * c)
     # kernel: 7x7xCx64, zero-pad taps to 8x8, split each axis into
@@ -105,7 +116,7 @@ def _space_to_depth_stem(xq, w, *, block=2):
     return y[:, :oh, :ow, :]
 
 
-def fused_apply(variables, x, *, scales, num_classes: int = 1000,
+def fused_apply(variables, x, *, scales,
                 policy: Optional[dict] = None, s2d_stem: bool = True,
                 interpret: Optional[bool] = None) -> jax.Array:
     """SLFP8 ResNet-50 forward on pre-quantized (frozen) variables."""
@@ -113,6 +124,15 @@ def fused_apply(variables, x, *, scales, num_classes: int = 1000,
     params = variables["params"]
     stats = variables["batch_stats"]
     ka, kw = scales.ka, scales.kw
+    # the shared stage-boundary quantize relies on conv1 and the downsample
+    # conv having the same calibrated Ka (same producer tensor); holds for
+    # the shipped constants, but guard against custom scale sets.
+    for _, _, _, base in _STAGES:
+        if float(ka[base]) != float(ka[base + 1]):
+            raise ValueError(
+                f"fused_apply requires ka[{base}] == ka[{base + 1}] "
+                f"(downsample shares conv1's quantized input); got "
+                f"{float(ka[base])} != {float(ka[base + 1])}")
 
     def kaw(sid):
         return float(ka[sid]) * float(kw[sid])

@@ -41,10 +41,20 @@ class InferenceEngine:
     ):
         # fused=None (auto): the BN-folded fused executor for SLFP8
         # ResNet-50 with float frozen weights (+8% measured, bench.py's
-        # configuration); explicit True/False overrides.
+        # configuration) — but never overriding an explicit request for the
+        # Pallas module path or full-fp32 numerics.  Explicit True/False
+        # overrides the auto choice (True validates its preconditions).
+        _resnet = net in ("resnet", "resnet50", "imgnet/resnet")
         if fused is None:
-            fused = net in ("resnet", "imgnet/resnet") and qbit == 8 \
-                and not pack_weights
+            fused = (_resnet and qbit == 8 and not pack_weights
+                     and use_pallas is not True
+                     and compute_dtype == jnp.bfloat16)
+        elif fused:
+            if not (_resnet and qbit == 8 and not pack_weights):
+                raise ValueError(
+                    "fused=True requires net='resnet', qbit=8 and "
+                    "pack_weights=False (the fused executor consumes float "
+                    "SLFP<3,4> frozen weights)")
         self.fused = fused
         self.batch_size = batch_size
         self.image_size = image_size or (
@@ -76,14 +86,8 @@ class InferenceEngine:
             from cnns_slfp_quantization_tpu import calib
             from cnns_slfp_quantization_tpu.models import resnet50_fused
 
-            scales = calib.load_scales("resnet50_imgnet")
-
-            class _FusedModel:
-                @staticmethod
-                def apply(v, x, train=False):
-                    return resnet50_fused.fused_apply(v, x, scales=scales)
-
-            self.model = _FusedModel()
+            self.model = resnet50_fused.as_model(
+                calib.load_scales("resnet50_imgnet"))
         else:
             self.model = models.create_model(
                 net, qbit, compute_dtype=compute_dtype,

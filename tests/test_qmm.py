@@ -56,3 +56,19 @@ def test_qmm_fused_residual_and_quant_out():
     assert got.shape == (33, 256)
     np.testing.assert_array_equal(np.asarray(got, np.float32),
                                   np.asarray(want, np.float32))
+
+
+def test_qmm_fused_signed_quant_out_without_relu():
+    # relu=False + quant_out: negatives must quantize signed, not flush to 0
+    x, w, scale, shift = _mk(seed=4)
+    shift = shift - 5.0  # force negative outputs
+    got = qmm.qmm_fused(x, w, scale, shift, relu=False,
+                        quant_in_recip=1.0, quant_out_recip=0.125,
+                        interpret=True)
+    xq = sfp._act_bf16_bits(x, 1.0, 8, True)
+    y = jnp.dot(xq, w.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32) * scale + shift
+    want = sfp._act_bf16_bits(y, 0.125, 8, False)
+    assert float(jnp.min(got)) < 0
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(want, np.float32))

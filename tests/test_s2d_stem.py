@@ -22,3 +22,17 @@ def test_s2d_stem_matches_direct_conv():
         # exact, f32 accumulation differs only in summation order
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_s2d_stem_odd_sizes():
+    rng = jax.random.PRNGKey(1)
+    r1, r2 = jax.random.split(rng)
+    for h, wdt in ((65, 65), (63, 64)):
+        x = jax.random.normal(r1, (1, h, wdt, 3), jnp.float32).astype(
+            jnp.bfloat16)
+        w = jax.random.normal(r2, (7, 7, 3, 64), jnp.float32) * 0.1
+        want = resnet50_fused._xla_conv(x, w, stride=2, pad=3)
+        got = resnet50_fused._space_to_depth_stem(x, w)
+        assert got.shape == want.shape, (h, wdt, got.shape, want.shape)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)

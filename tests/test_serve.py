@@ -38,3 +38,19 @@ def test_engine_fused_resnet():
                           fused=False)
     ref.variables = eng.variables
     np.testing.assert_array_equal(eng.classify(x), ref.classify(x))
+
+
+def test_engine_fused_validation_and_overrides():
+    import pytest
+
+    # explicit fused=True with invalid preconditions raises
+    with pytest.raises(ValueError):
+        InferenceEngine("resnet", qbit=8, pack_weights=True, fused=True,
+                        image_size=64)
+    with pytest.raises(ValueError):
+        InferenceEngine("mobilenet", qbit=8, fused=True)
+    # explicit Pallas / fp32 requests are not silently overridden by auto
+    eng = InferenceEngine("resnet", qbit=8, image_size=64, use_pallas=True)
+    assert not eng.fused
+    eng = InferenceEngine("resnet", qbit=8, image_size=64, compute_dtype=None)
+    assert not eng.fused
