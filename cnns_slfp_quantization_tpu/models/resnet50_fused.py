@@ -73,43 +73,51 @@ def _bn_fold(params, stats, extra_scale: float):
         shift.astype(jnp.float32)
 
 
-def _xla_conv(xq, w, *, stride=1, pad=0):
+def _xla_conv(xq, w, *, stride=1, pad=0, groups=1):
     return jax.lax.conv_general_dilated(
         xq.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
         window_strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
         preferred_element_type=jnp.float32)
 
 
-def _space_to_depth_stem(xq, w):
-    """7x7/s2/p3 stem conv as a 4x4/s1 conv on 2x2 space-to-depth input.
+def _space_to_depth_stem(xq, w, *, pad=3):
+    """kxk/s2/p<pad> stem conv as a (k'/2)x(k'/2)/s1 conv on 2x2
+    space-to-depth input (k' = k rounded up to even).
 
-    Mathematically exact rewrite (same sum, zero-padded kernel taps): the
+    Mathematically exact rewrite (same sum, zero-padded kernel taps): a
     3-channel 7x7 conv runs at ~9% MXU input-channel utilization; the s2d
-    form feeds 12 channels with a 4x4 kernel, the standard TPU ResNet stem
-    trick.  Operates on already-quantized input (s2d is a permutation, so it
-    commutes with the elementwise quantizer).
+    form feeds 12 channels, the standard TPU ResNet stem trick.  Operates on
+    already-quantized input (s2d is a permutation, so it commutes with the
+    elementwise quantizer).
     """
     n, h, wdt, c = xq.shape
-    # reference output extent of conv 7x7/s2/p3 (x rows 2i-3 .. 2i+3)
-    oh, ow = (h - 1) // 2 + 1, (wdt - 1) // 2 + 1
-    # pad: the leading p=3, and enough trailing zeros that the padded extent
-    # is even for the block-2 rearrangement (5 for even h, 4 for odd); any
-    # extra VALID output row/col this creates is sliced off below.
-    ph, pw_ = 5 - (h & 1), 5 - (wdt & 1)
-    xp = jnp.pad(xq, ((0, 0), (3, ph), (3, pw_), (0, 0)))
-    hp, wp = h + 3 + ph, wdt + 3 + pw_
+    k = w.shape[0]
+    f = w.shape[-1]
+    k2 = -(-k // 2) * 2  # kernel taps padded to even
+    kb = k2 // 2         # conv extent in s2d space
+    # reference output extent of conv kxk/s2/p<pad>
+    oh, ow = (h + 2 * pad - k) // 2 + 1, (wdt + 2 * pad - k) // 2 + 1
+
+    def trailing(extent, out):
+        t = max(2 * out - 2 + k2 - pad - extent, 0)
+        return t + ((pad + extent + t) & 1)
+
+    th, tw = trailing(h, oh), trailing(wdt, ow)
+    xp = jnp.pad(xq, ((0, 0), (pad, th), (pad, tw), (0, 0)))
+    hp, wp = h + pad + th, wdt + pad + tw
     s2d = xp.reshape(n, hp // 2, 2, wp // 2, 2, c).transpose(
         0, 1, 3, 2, 4, 5).reshape(n, hp // 2, wp // 2, 4 * c)
-    # kernel: 7x7xCx64, zero-pad taps to 8x8, split each axis into
-    # (outer=4, parity=2) and fold the parities into the input-channel dim in
-    # the same (row-parity, col-parity, channel) order as the s2d reshape.
-    w8 = jnp.pad(w, ((0, 1), (0, 1), (0, 0), (0, 0)))
-    w4 = w8.reshape(4, 2, 4, 2, c, w.shape[-1]).transpose(
-        0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, w.shape[-1])
+    # kernel: zero-pad taps to k2 x k2, split each axis into
+    # (outer=kb, parity=2) and fold the parities into the input-channel dim
+    # in the same (row-parity, col-parity, channel) order as the s2d reshape.
+    wk = jnp.pad(w, ((0, k2 - k), (0, k2 - k), (0, 0), (0, 0)))
+    wb = wk.reshape(kb, 2, kb, 2, c, f).transpose(
+        0, 2, 1, 3, 4, 5).reshape(kb, kb, 4 * c, f)
     y = jax.lax.conv_general_dilated(
-        s2d.astype(jnp.bfloat16), w4.astype(jnp.bfloat16),
+        s2d.astype(jnp.bfloat16), wb.astype(jnp.bfloat16),
         window_strides=(1, 1), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32)
