@@ -82,3 +82,35 @@ def scan_throughput(model, variables, x0, *, steps: int = 16) -> float:
         float(run(variables, x0))
         best = min(best, time.perf_counter() - t0)
     return x0.shape[0] * steps / best
+
+
+def scan_train_throughput(train_step, state, x0, y0, *, steps: int = 8,
+                          rng=None) -> float:
+    """QAT-step counterpart of :func:`scan_throughput`: images/sec over
+    `steps` full train steps (fwd + bwd + optimizer) chained in one jitted
+    lax.scan, relay-proof via the host scalar fetch."""
+    import jax.numpy as jnp
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    @jax.jit
+    def run(state, x0, y0, rng):
+        def body(carry, i):
+            st, acc = carry
+            perturbed = (x0.astype(jnp.float32)
+                         * (1.0 + i.astype(jnp.float32) * 1e-6)).astype(x0.dtype)
+            st, metrics = train_step(st, perturbed, y0, rng)
+            return (st, acc + metrics["loss"].astype(jnp.float32)), None
+
+        (st, acc), _ = jax.lax.scan(
+            body, (state, jnp.float32(0)), jnp.arange(steps))
+        return acc
+
+    float(run(state, x0, y0, rng))  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(state, x0, y0, rng))
+        best = min(best, time.perf_counter() - t0)
+    return x0.shape[0] * steps / best

@@ -135,3 +135,22 @@ def test_imagefolder_pipeline(tmp_path):
                                       train=True, workers=2, seed=1)
     xt, _ = next(iter(it_tr))
     assert xt.shape == (6, 224, 224, 3) and np.isfinite(xt).all()
+
+
+def test_scan_train_throughput_runs():
+    import jax
+    import jax.numpy as jnp
+
+    from cnns_slfp_quantization_tpu import models
+    from cnns_slfp_quantization_tpu.train import loop, optimizers
+    from cnns_slfp_quantization_tpu.utils.profiling import scan_train_throughput
+
+    model = models.create_model("mobilenet", 8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 32, 3), jnp.float32)
+    y = jnp.zeros((4,), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(1), x, train=False)
+    tx = optimizers.dsgd(1e-3, qbit=8)
+    state = loop.TrainState.create(variables, tx)
+    ips = scan_train_throughput(loop.make_train_step(model, tx), state, x, y,
+                                steps=2)
+    assert ips > 0
