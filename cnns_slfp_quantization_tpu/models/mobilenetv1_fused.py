@@ -8,7 +8,10 @@ as :class:`models.mobilenetv1.MobileNetV1` —
 - BatchNorm folded offline into the per-channel Ka*Kw affine,
 - each conv's epilogue emits the *next* conv's quantized input (the ReLU +
   1/Ka + SLFP<3,4> quantize chain fuses into the conv's output pass),
-- the 3-channel 3x3/s2 stem runs as a 2x2/s1 conv on space-to-depth input.
+- optional space-to-depth stem (``s2d_stem``) — measured SLOWER here
+  (22882 vs 23261 img/s, v5e batch 256: the 3x3 stem is too small for the
+  rearrangement to pay off), so off by default; the executor overall beats
+  the module path 23261 vs 21673 img/s (+7.3%).
 
 Covers the ReLU variants (CIFAR quantized-classifier and ImageNet
 fp32-classifier, reference nets_imgnet/mobilenetv1.py:61); the Swish/
@@ -32,7 +35,7 @@ from cnns_slfp_quantization_tpu.models.resnet50_fused import (
 
 
 def fused_apply(variables, x, *, scales, quant_classifier: bool = True,
-                s2d_stem: bool = True) -> jnp.ndarray:
+                s2d_stem: bool = False) -> jnp.ndarray:
     """SLFP8 MobileNetV1 forward on pre-quantized (frozen) variables."""
     params = variables["params"]
     stats = variables["batch_stats"]

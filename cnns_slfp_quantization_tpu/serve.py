@@ -40,21 +40,29 @@ class InferenceEngine:
         mesh=None,
     ):
         # fused=None (auto): the BN-folded fused executor for SLFP8
-        # ResNet-50 with float frozen weights (+8% measured, bench.py's
-        # configuration) — but never overriding an explicit request for the
-        # Pallas module path or full-fp32 numerics.  Explicit True/False
-        # overrides the auto choice (True validates its preconditions).
-        _resnet = net in ("resnet", "resnet50", "imgnet/resnet")
+        # ResNet-50 (+8% measured, bench.py's configuration) and the ReLU
+        # MobileNetV1 variants (+7.3%) with float frozen weights — but never
+        # overriding an explicit request for the Pallas module path or
+        # full-fp32 numerics.  Explicit True/False overrides the auto choice
+        # (True validates its preconditions).
+        _fusable = {
+            "resnet": "r", "resnet50": "r", "imgnet/resnet": "r",
+            "mobilenet": "mc", "cifar/mobilenet": "mc",
+            "mobilenetv1": "mi", "imgnet/mobilenetv1": "mi",
+        }
+        self._fuse_kind = _fusable.get(net)
         if fused is None:
-            fused = (_resnet and qbit == 8 and not pack_weights
+            fused = (self._fuse_kind is not None and qbit == 8
+                     and not pack_weights
                      and use_pallas is not True
                      and compute_dtype == jnp.bfloat16)
         elif fused:
-            if not (_resnet and qbit == 8 and not pack_weights):
+            if not (self._fuse_kind is not None and qbit == 8
+                    and not pack_weights):
                 raise ValueError(
-                    "fused=True requires net='resnet', qbit=8 and "
-                    "pack_weights=False (the fused executor consumes float "
-                    "SLFP<3,4> frozen weights)")
+                    "fused=True requires net in {resnet, mobilenet, "
+                    "mobilenetv1}, qbit=8 and pack_weights=False (the fused "
+                    "executors consume float SLFP<3,4> frozen weights)")
         self.fused = fused
         self.batch_size = batch_size
         self.image_size = image_size or (
@@ -84,10 +92,20 @@ class InferenceEngine:
 
         if self.fused:
             from cnns_slfp_quantization_tpu import calib
-            from cnns_slfp_quantization_tpu.models import resnet50_fused
 
-            self.model = resnet50_fused.as_model(
-                calib.load_scales("resnet50_imgnet"))
+            if self._fuse_kind == "r":
+                from cnns_slfp_quantization_tpu.models import resnet50_fused
+
+                self.model = resnet50_fused.as_model(
+                    calib.load_scales("resnet50_imgnet"))
+            else:
+                from cnns_slfp_quantization_tpu.models import mobilenetv1_fused
+
+                self.model = mobilenetv1_fused.as_model(
+                    calib.load_scales("mobilenetv1_cifar"
+                                      if self._fuse_kind == "mc"
+                                      else "mobilenetv1_imgnet"),
+                    quant_classifier=self._fuse_kind == "mc")
         else:
             self.model = models.create_model(
                 net, qbit, compute_dtype=compute_dtype,

@@ -48,9 +48,20 @@ def test_engine_fused_validation_and_overrides():
         InferenceEngine("resnet", qbit=8, pack_weights=True, fused=True,
                         image_size=64)
     with pytest.raises(ValueError):
-        InferenceEngine("mobilenet", qbit=8, fused=True)
+        InferenceEngine("vgg16", qbit=8, fused=True)
     # explicit Pallas / fp32 requests are not silently overridden by auto
     eng = InferenceEngine("resnet", qbit=8, image_size=64, use_pallas=True)
     assert not eng.fused
     eng = InferenceEngine("resnet", qbit=8, image_size=64, compute_dtype=None)
     assert not eng.fused
+
+
+def test_engine_fused_mobilenet():
+    eng = InferenceEngine("mobilenet", qbit=8, batch_size=2)
+    assert eng.fused
+    x = np.random.default_rng(2).normal(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    logits = eng.predict(x)
+    assert logits.shape == (2, 100) and np.isfinite(logits).all()
+    eng_i = InferenceEngine("mobilenetv1", qbit=8, batch_size=2, image_size=64)
+    assert eng_i.fused
+    assert eng_i.predict(np.zeros((2, 64, 64, 3), np.float32)).shape == (2, 1000)
