@@ -35,8 +35,30 @@ class _ShardedForward:
         return self.model.apply(variables, x, train=train)
 
 
+def _fused_model_and_vars(net, variables, sample):
+    """Frozen variables + fused executor for the serving fast path."""
+    from cnns_slfp_quantization_tpu import calib, models as models_lib
+    from cnns_slfp_quantization_tpu.ops import freeze
+
+    cap = models_lib.create_model(net, 8, capture="full")
+    vf = freeze.prequantize_variables(cap, variables, sample,
+                                      dtype=jnp.bfloat16)
+    if net in ("resnet", "resnet50", "imgnet/resnet"):
+        from cnns_slfp_quantization_tpu.models import resnet50_fused
+
+        return resnet50_fused.as_model(
+            calib.load_scales("resnet50_imgnet")), vf
+    from cnns_slfp_quantization_tpu.models import mobilenetv1_fused
+
+    cifar = net in ("mobilenet", "cifar/mobilenet")
+    return mobilenetv1_fused.as_model(
+        calib.load_scales("mobilenetv1_cifar" if cifar
+                          else "mobilenetv1_imgnet"),
+        quant_classifier=cifar), vf
+
+
 def run(net: str, device_counts, per_device_batch: int, image_size: int,
-        qbit: int = 8, model_axis: int = 1):
+        qbit: int = 8, model_axis: int = 1, fused: bool = False):
     results = {}
     for n in device_counts:
         if n > len(jax.devices()):
@@ -48,6 +70,8 @@ def run(net: str, device_counts, per_device_batch: int, image_size: int,
         batch = per_device_batch * (n // model_axis)
         x = jax.random.normal(rng, (batch, image_size, image_size, 3))
         variables = model.init(rng, x[:1], train=False)
+        if fused:
+            model, variables = _fused_model_and_vars(net, variables, x[:1])
         with mesh:
             variables = jax.device_put(
                 variables,
@@ -75,9 +99,12 @@ def main(argv=None):
     p.add_argument("--image_size", type=int, default=32)
     p.add_argument("--Qbits", type=int, default=8)
     p.add_argument("--model_axis", type=int, default=1)
+    p.add_argument("--fused", action="store_true", default=False,
+                   help="use the fused serving executor (resnet/mobilenet)")
     cfg = p.parse_args(argv)
     for row in run(cfg.net, cfg.devices, cfg.per_device_batch,
-                   cfg.image_size, cfg.Qbits, cfg.model_axis):
+                   cfg.image_size, cfg.Qbits, cfg.model_axis,
+                   fused=cfg.fused):
         print(json.dumps(row))
 
 

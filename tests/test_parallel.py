@@ -101,3 +101,38 @@ def test_spatial_conv_5x5():
         x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_executor_sharded_inference():
+    """The fused ResNet executor under dp+tp sharding matches single-device.
+
+    The serving fast path must compile and produce identical results when
+    the batch is sharded over 'data' and the frozen weights over 'model'
+    (GSPMD propagates the shardings through the functional executor).
+    """
+    from cnns_slfp_quantization_tpu import calib
+    from cnns_slfp_quantization_tpu.models import resnet50_fused
+    from cnns_slfp_quantization_tpu.ops import freeze
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (8, 64, 64, 3), jnp.float32)
+    m = models.create_model("resnet", 8)
+    v = m.init(jax.random.PRNGKey(1), x[:1], train=False)
+    cap = models.create_model("resnet", 8, capture="full")
+    vf = freeze.prequantize_variables(cap, v, x[:1], dtype=jnp.bfloat16)
+    scales = calib.load_scales("resnet50_imgnet")
+
+    fn = jax.jit(lambda v, x: resnet50_fused.fused_apply(v, x, scales=scales))
+    want = np.asarray(fn(vf, x), np.float32)
+
+    mesh = make_mesh(data=4, model=2, devices=jax.devices()[:8])
+    with mesh:
+        vs = mesh_lib.shard_tree(vf, mesh_lib.param_shardings(vf, mesh))
+        xs = jax.device_put(x, mesh_lib.batch_sharding(mesh))
+        got = np.asarray(fn(vs, xs), np.float32)
+    # data-parallel rows are bit-identical; TP partial sums can flip SLFP
+    # bins on the model axis — require exact shape + tight agreement
+    assert got.shape == want.shape
+    cos = float(np.sum(got * want) /
+                (np.linalg.norm(got) * np.linalg.norm(want) + 1e-30))
+    assert cos > 0.999, cos
