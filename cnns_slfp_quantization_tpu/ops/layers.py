@@ -24,6 +24,7 @@ TPU-first design:
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
@@ -36,6 +37,41 @@ from cnns_slfp_quantization_tpu.ops import sfp
 
 def _maybe_cast(x, dtype):
     return x if dtype is None else x.astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _conv_f32acc(a, b, strides, padding, groups):
+    """conv with f32 accumulation that is differentiable for bf16 inputs.
+
+    ``lax.conv_general_dilated(bf16, bf16, preferred_element_type=f32)``
+    yields an f32 primal, so JAX's conv transpose rule would call conv with
+    (f32 cotangent, bf16 operand) — a dtype-mismatch TypeError.  The custom
+    VJP computes the (accumulation-dtype-independent) cotangents on f32
+    casts, keeping the bf16 MXU forward and exact f32 gradients.
+    """
+    return jax.lax.conv_general_dilated(
+        a, b, window_strides=strides, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups, preferred_element_type=jnp.float32)
+
+
+def _conv_f32acc_fwd(a, b, strides, padding, groups):
+    return _conv_f32acc(a, b, strides, padding, groups), (a, b)
+
+
+def _conv_f32acc_bwd(strides, padding, groups, res, g):
+    a, b = res
+    _, vjp = jax.vjp(
+        lambda a32, b32: jax.lax.conv_general_dilated(
+            a32, b32, window_strides=strides, padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups),
+        a.astype(jnp.float32), b.astype(jnp.float32))
+    da, db = vjp(g.astype(jnp.float32))
+    return da.astype(a.dtype), db.astype(b.dtype)
+
+
+_conv_f32acc.defvjp(_conv_f32acc_fwd, _conv_f32acc_bwd)
 
 
 
@@ -158,14 +194,12 @@ class QuantConv(nn.Module):
             pad = ((pad, pad), (pad, pad))
         elif len(pad) == 2 and all(isinstance(p, int) for p in pad):
             pad = ((pad[0], pad[0]), (pad[1], pad[1]))
-        y = jax.lax.conv_general_dilated(
+        y = _conv_f32acc(
             _maybe_cast(input_q, self.compute_dtype),
             _maybe_cast(weight_q, self.compute_dtype),
-            window_strides=tuple(self.strides),
-            padding=pad,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.feature_group_count,
-            preferred_element_type=jnp.float32,
+            tuple(self.strides),
+            tuple(map(tuple, pad)),
+            self.feature_group_count,
         )
         if bias is not None:
             # conv2d_func.py:44: bias_q = b/(Ka*Kw) added pre-scale.

@@ -154,3 +154,68 @@ def test_scan_train_throughput_runs():
     ips = scan_train_throughput(loop.make_train_step(model, tx), state, x, y,
                                 steps=2)
     assert ips > 0
+
+
+def test_bf16_qat_train_step():
+    """QAT training must work with the bf16 MXU stream (regression: the
+    conv transpose rule rejects (f32 cotangent, bf16 operand) when the
+    forward used preferred_element_type=f32 — fixed by _conv_f32acc)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cnns_slfp_quantization_tpu import models
+    from cnns_slfp_quantization_tpu.train import loop, optimizers
+
+    for net, size in (("mobilenet", 32), ("vgg16", 32)):
+        model = models.create_model(net, 8, compute_dtype=jnp.bfloat16)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, size, size, 3),
+                              jnp.float32)
+        y = jnp.zeros((2,), jnp.int32)
+        v = model.init(jax.random.PRNGKey(1), x, train=False)
+        tx = optimizers.dsgd(1e-3, qbit=8)
+        state = loop.TrainState.create(v, tx)
+        step = loop.make_train_step(model, tx, has_dropout=net == "vgg16")
+        s2, m = jax.jit(step)(state, x, y, jax.random.PRNGKey(0))
+        assert np.isfinite(float(m["loss"]))
+        # parameters actually moved
+        moved = jax.tree.reduce(
+            lambda acc, pair: acc, jax.tree.map(
+                lambda a, b: float(jnp.abs(a - b).max()), state.params,
+                s2.params))
+        leaves = jax.tree.leaves(jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), state.params,
+            s2.params))
+        assert max(leaves) > 0
+
+
+def test_conv_f32acc_grads_match_f32_reference():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cnns_slfp_quantization_tpu.ops.layers import _conv_f32acc
+
+    a = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4), jnp.float32)
+    b = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 4, 8), jnp.float32)
+
+    def f32(a, b):
+        return jnp.sum(jax.lax.conv_general_dilated(
+            a, b, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) ** 2)
+
+    def ours(a, b):
+        return jnp.sum(_conv_f32acc(a.astype(jnp.bfloat16),
+                                    b.astype(jnp.bfloat16),
+                                    (1, 1), ((1, 1), (1, 1)), 1) ** 2)
+
+    ga, gb = jax.grad(f32, (0, 1))(a, b)
+    ga2, gb2 = jax.grad(ours, (0, 1))(a, b)
+    # the bf16-rounded forward feeds the chain rule, so individual
+    # components wobble where terms cancel; direction and scale must match
+    for g1, g2 in ((ga, ga2), (gb, gb2)):
+        g1, g2 = np.asarray(g1).ravel(), np.asarray(g2).ravel()
+        cos = float(g1 @ g2 / (np.linalg.norm(g1) * np.linalg.norm(g2)))
+        assert cos > 0.999, cos
+        np.testing.assert_allclose(g2, g1, rtol=0.2,
+                                   atol=0.02 * np.abs(g1).max())
