@@ -82,6 +82,19 @@ def create_model(
             scales=scales or calib.load_scales("resnet50_imgnet"),
             num_classes=num_classes or 1000, **common,
         )
+    if name in ("resnet_stl", "resnet_swish", "imgnet/resnet_stl",
+                "imgnet/resnet_swish"):
+        # activation-optimized variants (BASELINE config 4): SFP<4,4>
+        # layerout quant + STL/Swish, the CIFAR-net recipe applied to
+        # ResNet-50 (an extension — the reference has no such imgnet variant)
+        from cnns_slfp_quantization_tpu.models import resnet50
+
+        return resnet50.ResNet50(
+            scales=scales or calib.load_scales("resnet50_imgnet"),
+            num_classes=num_classes or 1000,
+            act="stl" if name.endswith("stl") else "swish",
+            layerout_quant=True, **common,
+        )
     if name in ("alexnet", "imgnet/alexnet"):
         from cnns_slfp_quantization_tpu.models import alexnet
 
