@@ -136,3 +136,30 @@ def test_fused_executor_sharded_inference():
     cos = float(np.sum(got * want) /
                 (np.linalg.norm(got) * np.linalg.norm(want) + 1e-30))
     assert cos > 0.999, cos
+
+
+def test_multihost_global_batch_and_iterator_sharding():
+    """Single-process exercise of the multi-host mechanisms: global array
+    assembly from process-local data, and per-host iterator slicing."""
+    from cnns_slfp_quantization_tpu.parallel import multihost
+
+    mesh = make_mesh(data=8, model=1, devices=jax.devices()[:8])
+    imgs = np.arange(16 * 4 * 4 * 3, dtype=np.float32).reshape(16, 4, 4, 3)
+    labels = np.arange(16, dtype=np.int32)
+    gi, gl = multihost.global_batch(mesh, imgs, labels)
+    assert gi.shape == (16, 4, 4, 3) and gl.shape == (16,)
+    assert len(gi.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(gi), imgs)
+    np.testing.assert_array_equal(np.asarray(gl), labels)
+
+    batches = [(i, i) for i in range(10)]
+    mine = list(multihost.shard_data_iterator(iter(batches),
+                                              process_index=1,
+                                              process_count=4))
+    assert mine == [(1, 1), (5, 5), (9, 9)]
+    # all processes together cover every batch exactly once
+    seen = sorted(sum((
+        [b[0] for b in multihost.shard_data_iterator(
+            iter(batches), process_index=p, process_count=4)]
+        for p in range(4)), []))
+    assert seen == list(range(10))
