@@ -174,13 +174,17 @@ def fused_apply(variables, x, *, scales,
         y = _space_to_depth_stem(xq, params["conv1"]["kernel"])
     else:
         y = _xla_conv(xq, params["conv1"]["kernel"], stride=2, pad=3)
+    # NOTE pool(Q(x)) == Q(pool(x)) exactly (monotone quantizer), so the
+    # quantize could fuse into the stem epilogue — measured SLOWER (9395 vs
+    # 9697 img/s): pre-pool it quantizes 4x the elements, and that VPU cost
+    # exceeds the standalone pass's HBM round trip.  Keep it post-pool.
     y = xla_post(y, 0, "bn1")
     y = jax.lax.reduce_window(
         y, -jnp.inf if y.dtype == jnp.float32 else jnp.bfloat16(-jnp.inf),
         jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
         ((0, 0), (1, 1), (1, 1), (0, 0)))
 
-    xr = y  # raw bf16 stream
+    xr, xr_quantized = y, False  # raw bf16 stream
     for s_idx, (planes, blocks, stride, base) in enumerate(_STAGES):
         for b in range(blocks):
             bstride = stride if b == 0 else 1
@@ -188,9 +192,12 @@ def fused_apply(variables, x, *, scales,
             sid = base + 3 * b
             has_ds = b == 0
             if has_ds:
-                # conv1 & downsample share Ka (same producer tensor):
-                # one fused quantize pass, both consume pre-quantized input.
-                xq_sh = qmm.quantize_act_pass(xr, recip(sid + 1))
+                # conv1 & downsample share Ka (same producer tensor); the
+                # shared quantized input was already emitted by the
+                # producer's epilogue (stem pre-pool quantize / previous
+                # stage's last conv3 quant_next), so no standalone pass.
+                xq_sh = (xr if xr_quantized
+                         else qmm.quantize_act_pass(xr, recip(sid + 1)))
                 identity = _xla_conv(
                     xq_sh, params[f"{pre}_down_conv"]["kernel"],
                     stride=bstride)
@@ -219,15 +226,22 @@ def fused_apply(variables, x, *, scales,
                            stride=bstride, pad=1)
             y2q = xla_post(y2, sid + 2, f"{pre}_bn2", quant_next=sid + 3)
 
-            # conv3 (1x1): mm->BN->+identity->ReLU -> raw block output
+            # conv3 (1x1): mm->BN->+identity->ReLU -> block output.  For the
+            # last block of a stage the raw tensor has no other consumer, so
+            # the next stage's shared quantize moves into this epilogue.
+            qn = (_STAGES[s_idx + 1][3] + 1
+                  if b == blocks - 1 and s_idx + 1 < len(_STAGES) else None)
             if pol["conv3"] == "pallas":
                 xr = pallas_mm(
                     y2q, f"{pre}_conv3", sid + 3, f"{pre}_bn3",
                     relu=True,
+                    quant_out_recip=None if qn is None else recip(qn),
                     residual=identity.reshape(-1, identity.shape[-1]))
             else:
                 y3 = _xla_conv(y2q, params[f"{pre}_conv3"]["kernel"])
-                xr = xla_post(y3, sid + 3, f"{pre}_bn3", residual=identity)
+                xr = xla_post(y3, sid + 3, f"{pre}_bn3", residual=identity,
+                              quant_next=qn)
+            xr_quantized = qn is not None
 
     # --- head: global avgpool + quantized FC (linear_Q semantics) ---------
     xa = jnp.mean(xr.astype(jnp.float32), axis=(1, 2))
