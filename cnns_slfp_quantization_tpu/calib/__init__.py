@@ -50,8 +50,18 @@ def load_scales(name: str) -> ScaleSet:
     )
 
 
-def save_scales(name: str, ka_max, kw_max, divisor: float, source: str = "calibrated"):
-    path = _CONSTANTS_DIR / f"{name}.json"
+def save_scales(name: str, ka_max, kw_max, divisor: float,
+                source: str = "calibrated", out_dir=None):
+    """Write a scale-set JSON.
+
+    ``out_dir=None`` writes into the shipped ``calib/constants/`` package dir
+    (for deliberately committing a new constants set); runtime callers (the
+    --pre_reference CLI path) must pass an output dir so generated artifacts
+    land under --root_dir, not inside the installed package.
+    """
+    out = _CONSTANTS_DIR if out_dir is None else pathlib.Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    path = out / f"{name}.json"
     path.write_text(
         json.dumps(
             {

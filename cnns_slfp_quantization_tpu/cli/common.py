@@ -112,19 +112,23 @@ def run_calibration(cfg, model_name, net, variables, eval_batches,
     model = model_name  # model with capture="absmax"
     result = calibrate_lib.calibrate(model, variables, eval_batches,
                                      max_images=total_images)
-    with open(f"max_inout_{net}.txt", "w") as f:
+    import os as _os
+    out_root = getattr(cfg, "root_dir", ".") or "."
+    _os.makedirs(out_root, exist_ok=True)
+    with open(_os.path.join(out_root, f"max_inout_{net}.txt"), "w") as f:
         for idx in sorted(result.input_absmax):
             f.write(f"Layer {idx} Max Absolute Input:\n")
             f.write(str(result.input_absmax[idx]) + "\n\n")
         for idx in sorted(result.output_absmax):
             f.write(f"Layer {idx} Max Absolute Output:\n")
             f.write(str(result.output_absmax[idx]) + "\n\n")
-    with open(f"max_weight_{net}.txt", "w") as f:
+    with open(_os.path.join(out_root, f"max_weight_{net}.txt"), "w") as f:
         for idx in sorted(result.weight_absmax):
             f.write(f"Layer {idx} Max Absolute weight:\n")
             f.write(str(result.weight_absmax[idx]) + "\n\n")
+    # generated artifact -> under --root_dir, never into the package source
     calib.save_scales(f"{net}_calibrated", result.ka_max(), result.kw_max(),
-                      divisor)
+                      divisor, out_dir=_os.path.join(out_root, "calib"))
     print(f"Results saved to max_weight_{net}.txt")
     return result
 
@@ -155,8 +159,11 @@ def run_main_loop(cfg, model, variables, train_batches, eval_batches,
     for epoch in range(max_epochs):
         if cfg.retrain:
             t0 = time.time()
+            # distinct dropout/shuffle key stream per epoch (the same base
+            # rng would replay epoch 0's keys every epoch)
+            epoch_rng = jax.random.fold_in(rng, epoch)
             state = loop.train_epoch(
-                train_step, state, train_batches, rng,
+                train_step, state, train_batches, epoch_rng,
                 log_interval=cfg.log_interval, epoch=epoch)
             logger.scalar("epoch_time", time.time() - t0, epoch)
         metrics = loop.evaluate(eval_step, state.variables(), eval_batches,
@@ -167,7 +174,11 @@ def run_main_loop(cfg, model, variables, train_batches, eval_batches,
               f"{metrics['top5']:.2f}%  ({metrics['images']} images)")
         logger.scalar("Precision@1", acc, epoch)
         logger.scalar("Precision@5", metrics["top5"], epoch)
-        if cfg.save_model and acc > acc_max:
+        # >= (not the reference's strict >, cifar100_train_eval.py:316): with
+        # acc_max starting at 0.0 a first epoch landing at exactly 0.00%
+        # would otherwise never checkpoint — the best-so-far model must
+        # always exist on disk under --save_model.
+        if cfg.save_model and acc >= acc_max:
             acc_max = acc
             checkpoint.save(ckpt_path, jax.device_get(state.variables()))
             print(f"max acc : {acc_max}\nsaving model....")

@@ -45,9 +45,12 @@ def main(argv=None):
         train_batches = synthetic.SyntheticIterator(
             image_size=224, num_classes=1000,
             batch_size=cfg.train_batch_size, num_batches=10, seed=0)
+        # enough eval batches to cover the 100-image smoke cap regardless of
+        # --eval_batch_size (the cap in run_main_loop slices exactly to 100)
+        eval_n = max(8, -(-120 // cfg.eval_batch_size))
         eval_batches = synthetic.SyntheticIterator(
             image_size=224, num_classes=1000,
-            batch_size=cfg.eval_batch_size, num_batches=8, seed=1)
+            batch_size=cfg.eval_batch_size, num_batches=eval_n, seed=1)
     else:
         from cnns_slfp_quantization_tpu.data import imagenet
 

@@ -73,10 +73,10 @@ def run(net: str, device_counts, per_device_batch: int, image_size: int,
         if fused:
             model, variables = _fused_model_and_vars(net, variables, x[:1])
         with mesh:
+            # model_axis > 1: actually TP-shard the weights (out-channel
+            # PartitionSpec policy); model_axis == 1: replicate.
             variables = jax.device_put(
-                variables,
-                jax.tree.map(lambda _: steps.mesh_lib.replicated(mesh),
-                             variables))
+                variables, steps.mesh_lib.param_shardings(variables, mesh))
             xs = jax.device_put(
                 x, steps.mesh_lib.batch_sharding(mesh, x.ndim))
             ips = scan_throughput(_ShardedForward(model, mesh), variables,

@@ -22,7 +22,10 @@ def state_shardings(state: TrainState, mesh: Mesh):
     bshard = mesh_lib.param_shardings(state.batch_stats, mesh)
     rep = mesh_lib.replicated(mesh)
     if isinstance(state.opt_state, QSGDState):
-        oshard = QSGDState(count=rep, momentum=pshard)
+        # stats (track_stats=True: scalar updated/stuck counters) replicate;
+        # tree structure must match or device_put fails on the state.
+        sstats = jax.tree.map(lambda _: rep, state.opt_state.stats)
+        oshard = QSGDState(count=rep, momentum=pshard, stats=sstats)
     else:
         oshard = jax.tree.map(lambda _: rep, state.opt_state)
     return TrainState(params=pshard, batch_stats=bshard, opt_state=oshard,

@@ -97,9 +97,19 @@ def make_eval_step(model) -> Callable:
 
 
 def evaluate(eval_step, variables, batches, max_images: Optional[int] = None):
-    """Accumulate top-1/top-5 over an eval set (test(), cifar:196-211)."""
+    """Accumulate top-1/top-5 over an eval set (test(), cifar:196-211).
+
+    ``max_images`` is an exact cap: a final partial batch is sliced so the
+    reported image count never overshoots (imgnet_train_eval.py:182-185's
+    100-image smoke eval reports exactly 100).
+    """
     c1 = c5 = n = 0
     for images, labels in batches:
+        if max_images is not None and n + images.shape[0] > max_images:
+            keep = max_images - n
+            images, labels = images[:keep], labels[:keep]
+            if keep == 0:
+                break
         m = jax.device_get(eval_step(variables, images, labels))
         c1 += int(m["correct1"]); c5 += int(m["correct5"]); n += int(m["count"])
         if max_images is not None and n >= max_images:

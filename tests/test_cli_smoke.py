@@ -18,6 +18,9 @@ import sys
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# shared across runs (and with conftest's in-process cache): the smokes are
+# compile-dominated, a per-tmp_path cache would be cold every invocation
+JAX_CACHE = "/tmp/jax_test_cache"
 
 
 def run_cli(module: str, args: list[str], cwd) -> str:
@@ -43,12 +46,12 @@ def test_cifar_driver_qat_epoch(tmp_path):
          "--optimizer", "DSGD", "--lr", "0.01", "--max_epochs", "1",
          "--train_batch_size", "8", "--eval_batch_size", "8",
          "--save_model", "--root_dir", str(tmp_path),
-         "--jax_cache", str(tmp_path / "jax_cache")],
+         "--jax_cache", JAX_CACHE],
         tmp_path)
     assert "Precision@1" in out and "Precision@5" in out
     assert "saving model" in out  # best-acc checkpoint path taken
-    ckpts = list((tmp_path / "ckpt").rglob("*"))
-    assert ckpts, "no checkpoint written under --save_model"
+    ckpts = [p for p in (tmp_path / "ckpt").rglob("*") if p.is_file()]
+    assert ckpts, "no checkpoint files written under --save_model"
     logs = list((tmp_path / "logs").rglob("*.jsonl"))
     assert logs, "MetricLogger wrote no JSONL scalars"
     text = logs[0].read_text()
@@ -63,7 +66,7 @@ def test_cifar_driver_pre_reference_calibration(tmp_path):
         "cnns_slfp_quantization_tpu.cli.cifar100_train_eval",
         ["--pre_reference", "--net", "mobilenet", "--synthetic",
          "--eval_batch_size", "8", "--root_dir", str(tmp_path),
-         "--jax_cache", str(tmp_path / "jax_cache")],
+         "--jax_cache", JAX_CACHE],
         tmp_path)
     assert "Results saved to max_weight_mobilenet.txt" in out
     inout = (tmp_path / "max_inout_mobilenet.txt").read_text()
@@ -71,6 +74,13 @@ def test_cifar_driver_pre_reference_calibration(tmp_path):
     assert "Max Absolute Input" in inout and "Max Absolute weight" in weight
     # mobilenet CIFAR has 28 quantized layers (27 convs + fc)
     assert weight.count("Max Absolute weight") >= 28
+    # calibrated JSON lands under --root_dir, never inside the package
+    assert (tmp_path / "calib" / "mobilenet_calibrated.json").is_file()
+    pkg_constants = os.path.join(
+        REPO, "cnns_slfp_quantization_tpu", "calib", "constants")
+    assert not os.path.exists(
+        os.path.join(pkg_constants, "mobilenet_calibrated.json")), \
+        "calibration polluted the package source tree"
 
 
 @pytest.mark.slow
@@ -82,7 +92,7 @@ def test_imgnet_driver_smoke_validate(tmp_path):
         ["--Qbits", "8", "--net", "mobilenetv1", "--synthetic",
          "--max_epochs", "1", "--eval_batch_size", "10",
          "--root_dir", str(tmp_path),
-         "--jax_cache", str(tmp_path / "jax_cache")],
+         "--jax_cache", JAX_CACHE],
         tmp_path)
     assert "Precision@1" in out and "Precision@5" in out
     assert "(100 images)" in out  # smoke-eval cap applied
