@@ -28,6 +28,9 @@ def make_parser():
     parser.add_argument("--log_name", type=str, default="cifar-100")
     parser.add_argument("--cifar", type=int, default=100)
     parser.add_argument("--net", type=str, default="mobilenet")
+    parser.add_argument("--ratio", type=float, default=1,
+                        help="ShuffleNetV2 width ratio 0.5/1/1.5/2 "
+                             "(reference shufflenet_v2.py:118-127)")
     parser.add_argument("--train_batch_size", type=int, default=256)
     parser.add_argument("--eval_batch_size", type=int, default=128)
     parser.add_argument("--max_epochs", type=int, default=1)
@@ -66,7 +69,8 @@ def main(argv=None):
         variables = common.load_pretrained(cfg, variables)
 
     if cfg.pre_reference:
-        calib_model = models.create_model(cfg.net, cfg.Qbits, capture="absmax")
+        calib_model = models.create_model(cfg.net, cfg.Qbits, capture="absmax",
+                                          ratio=cfg.ratio)
         divisor = 15.0 if cfg.net.startswith("shufflenetv2") else 15.5
         common.run_calibration(cfg, calib_model, cfg.net, variables,
                                eval_batches, divisor=divisor)

@@ -88,7 +88,8 @@ def configure_runtime(cfg) -> None:
 
 def build_model(cfg, net: str, image_size: int):
     compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
-    model = models.create_model(net, cfg.Qbits, compute_dtype=compute_dtype)
+    model = models.create_model(net, cfg.Qbits, compute_dtype=compute_dtype,
+                                ratio=getattr(cfg, "ratio", 1))
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
     variables = model.init(rng, x, train=False)
@@ -156,7 +157,11 @@ def run_main_loop(cfg, model, variables, train_batches, eval_batches,
 
     rng = jax.random.PRNGKey(cfg.num)
     acc_data, acc_max = [], 0.0
-    for epoch in range(max_epochs):
+    # resume continues the epoch numbering from the restored step counter so
+    # the per-epoch fold_in key stream matches an uninterrupted run (epoch 0
+    # keys must not replay after a restart)
+    start_epoch = int(state.step) // max(steps_per_epoch, 1)
+    for epoch in range(start_epoch, max_epochs):
         if cfg.retrain:
             t0 = time.time()
             # distinct dropout/shuffle key stream per epoch (the same base

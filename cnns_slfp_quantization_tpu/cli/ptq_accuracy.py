@@ -1,0 +1,363 @@
+"""Statistical PTQ-accuracy parity harness vs the reference torch oracle.
+
+The reference's real verification loop is dataset accuracy
+(cifar100_train_eval.py:196-211, imgnet_train_eval.py:177-216) and its
+headline claim is "<1% top-1 loss from SLFP<3,4> PTQ" (README.md:11).  No
+datasets or pretrained checkpoints exist in this environment, so this
+harness builds the strongest dataset-free substitute:
+
+1. train our model (fp32) on class-conditional synthetic data until it is a
+   real classifier (synthetic top-1 far above chance),
+2. export the trained weights into the *actual reference torch model*
+   (``checkpoint.export_torch_state_dict``),
+3. evaluate thousands of held-out inputs in BOTH frameworks at BOTH fp32 and
+   SLFP8,
+4. compare the frameworks' *PTQ-induced top-1 flip rates* and accuracy
+   deltas: if quantization flips the same fraction of decisions in both
+   frameworks (within binomial noise), our SLFP8 loses exactly as much
+   accuracy as the reference's — the "<1% PTQ loss" property transfers.
+
+Usage:
+    python -m cnns_slfp_quantization_tpu.cli.ptq_accuracy \
+        --nets mobilenet shufflenetv2 vgg16 --eval_images 2000
+
+Writes one JSON line per net and a markdown table (--out).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cnns_slfp_quantization_tpu import calib, models
+from cnns_slfp_quantization_tpu.calib import calibrate as calibrate_lib
+from cnns_slfp_quantization_tpu.data import synthetic
+from cnns_slfp_quantization_tpu.train import checkpoint, loop
+
+# net -> (dataset, image size, classes, dropout, ref module, ref builder)
+NETS = {
+    "mobilenet": ("cifar", 32, 100, False, "nets_cifar.mobilenetv1",
+                  lambda m, q: m.MobileNetV1_Q(ch_in=3, qbit=q)),
+    "shufflenetv2": ("cifar", 32, 100, False, "nets_cifar.shufflenet_v2",
+                     lambda m, q: m.ShuffleNetV2(qbit=q)),
+    "vgg16": ("cifar", 32, 100, True, "nets_cifar.vgg16",
+              lambda m, q: m.VGG16_Q(qbit=q)),
+    "mobilenetv1": ("imgnet", 224, 1000, False, "nets_imgnet.mobilenetv1",
+                    lambda m, q: m.MobileNetV1_Q(ch_in=3, qbit=q)),
+    # 64px keeps the torch-CPU oracle tractable; ResNet50's avgpool adapts
+    "resnet": ("imgnet", 64, 1000, False, "nets_imgnet.resnet50",
+               lambda m, q: m.ResNet50(qbit=q)),
+    "alexnet": ("imgnet", 224, 1000, True, "nets_imgnet.alexnet",
+                lambda m, q: m.AlexNet(qbit=q)),
+    "squeezenet": ("imgnet", 224, 1000, True, "nets_imgnet.squeezenet1_0",
+                   lambda m, q: m.SqueezeNet(qbit=q)),
+}
+
+
+def _import_ref_module(reference_dir: str, modname: str):
+    for stub in ("torchsummary", "tensorboardX", "torchsummaryX", "tqdm"):
+        if stub not in sys.modules:
+            mod = types.ModuleType(stub)
+            mod.summary = lambda *a, **k: None
+            sys.modules[stub] = mod
+    if reference_dir not in sys.path:
+        sys.path.insert(0, reference_dir)
+    import importlib
+
+    return importlib.import_module(modname)
+
+
+def train_our_model(name: str, *, train_steps: int, batch_size: int,
+                    lr: float, seed: int = 0, log_every: int = 50):
+    """Train our fp32 model on synthetic class-conditional data."""
+    dataset, size, classes, has_dropout, _, _ = NETS[name]
+    model = models.create_model(name, 32)
+    x0 = jnp.zeros((1, size, size, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(seed), x0, train=False)
+
+    tx = optax.chain(optax.add_decayed_weights(5e-4),
+                     optax.sgd(lr, momentum=0.9))
+    state = loop.TrainState.create(variables, tx)
+    step = jax.jit(loop.make_train_step(model, tx, has_dropout),
+                   donate_argnums=0)
+    it = synthetic.SyntheticIterator(
+        image_size=size, num_classes=classes, batch_size=batch_size,
+        num_batches=train_steps, seed=seed)
+    rng = jax.random.PRNGKey(seed + 1)
+    for i, (images, labels) in enumerate(it):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, jnp.asarray(images), jnp.asarray(labels),
+                              sub)
+        if log_every and i % log_every == 0:
+            m = jax.device_get(metrics)
+            print(f"  [{name}] step {i}: loss={float(m['loss']):.3f} "
+                  f"acc={float(m['accuracy']):.3f}", flush=True)
+    # raw init-order dict with trained leaves (positional export relies on
+    # insertion order, so graft trained arrays back into the init dict)
+    trained = jax.device_get(state.variables())
+
+    def graft(init_node, new_node):
+        if isinstance(init_node, dict):
+            return {k: graft(v, new_node[k]) for k, v in init_node.items()}
+        return np.asarray(new_node)
+
+    return model, graft(variables, trained)
+
+
+def calibrate_trained(name: str, variables, calib_images, batch: int):
+    """Reference calibration workflow (cifar100_train_eval.py:213-301) on
+    the trained fp32 model: absmax over a calibration set -> ScaleSet."""
+    cap = models.create_model(name, 32, capture="absmax")
+    batches = [(calib_images[i:i + batch],)
+               for i in range(0, len(calib_images), batch)]
+    result = calibrate_lib.calibrate(cap, variables, batches,
+                                     max_images=len(calib_images))
+    divisor = 15.0 if name.startswith("shufflenet") else 15.5
+    ka = np.asarray(result.ka_max(), np.float64) / divisor
+    kw = np.asarray(result.kw_max(), np.float64) / divisor
+    n = max(len(ka), len(kw))
+
+    def padto(a):
+        return np.concatenate([a, np.ones(n - len(a))]) if len(a) < n else a
+
+    return calib.ScaleSet(padto(ka), padto(kw), divisor,
+                          source="ptq_accuracy synthetic calibration")
+
+
+def _quant_modules(tmodel):
+    return [m for m in tmodel.modules()
+            if hasattr(m, "quantize_act") and hasattr(m, "Kw")]
+
+
+def _calibrate_torch(tmodel_fp32, images_nhwc, batch: int, divisor: float):
+    """Per-module (Ka, Kw) for the torch oracle, via forward-pre hooks over
+    the same calibration set our calibrate() pass uses — the reference's
+    'dump maxima -> paste into model source' workflow (SURVEY.md §3.3)
+    applied in-process, with no cross-framework index mapping."""
+    import torch
+
+    if hasattr(tmodel_fp32, "reset_layer_inputs_outputs"):
+        tmodel_fp32.reset_layer_inputs_outputs()
+        tmodel_fp32.reset_layer_weights()
+    qmods = _quant_modules(tmodel_fp32)
+    absmax = {id(m): 0.0 for m in qmods}
+    hooks = []
+    for m in qmods:
+        def hook(mod, inputs, _m=m):
+            v = float(inputs[0].abs().max())
+            absmax[id(_m)] = max(absmax[id(_m)], v)
+        hooks.append(m.register_forward_pre_hook(hook))
+    x_nchw = np.transpose(images_nhwc, (0, 3, 1, 2)).copy()
+    tmodel_fp32.eval()
+    with torch.no_grad():
+        for i in range(0, len(x_nchw), batch):
+            tmodel_fp32(torch.from_numpy(x_nchw[i:i + batch]))
+    for h in hooks:
+        h.remove()
+    return [(absmax[id(m)] / divisor,
+             float(m.weight.detach().abs().max()) / divisor)
+            for m in qmods]
+
+
+def _inject_torch_scales(tmodel, per_module_kakw):
+    """Overwrite each torch quant module's hard-coded Ka/Kw with the
+    hook-calibrated constants (same module order across instances of the
+    same architecture)."""
+    import torch
+
+    qmods = _quant_modules(tmodel)
+    assert len(qmods) == len(per_module_kakw), (
+        len(qmods), len(per_module_kakw))
+    for mod, (ka, kw) in zip(qmods, per_module_kakw):
+        mod.Ka = torch.tensor(ka)
+        mod.Kw = torch.tensor(kw)
+
+
+def _eval_ours(name: str, variables, images_nhwc, batch: int,
+               scales=None):
+    """preds + logits for our model at fp32 and SLFP8 (same weights)."""
+    out = {}
+    for qbit in (32, 8):
+        model = models.create_model(name, qbit,
+                                    scales=scales if qbit == 8 else None)
+        fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
+        logits = []
+        for i in range(0, len(images_nhwc), batch):
+            logits.append(np.asarray(
+                fn(variables, jnp.asarray(images_nhwc[i:i + batch]))))
+        logits = np.concatenate(logits)
+        out[qbit] = (np.argmax(logits, -1), logits)
+    return out
+
+
+def _eval_torch(name: str, torch_sd, images_nhwc, batch: int,
+                reference_dir: str, calib_images=None):
+    """preds + logits for the reference torch model at fp32 and SLFP8.
+
+    When ``calib_images`` is given, the q8 model's hard-coded Ka/Kw are
+    replaced by hook-calibrated constants for these weights (the shipped
+    constants belong to the reference's pretrained checkpoints)."""
+    import torch
+
+    _, _, _, _, modname, builder = NETS[name]
+    divisor = 15.0 if name.startswith("shufflenet") else 15.5
+    mod = _import_ref_module(reference_dir, modname)
+    x_nchw = np.transpose(images_nhwc, (0, 3, 1, 2)).copy()
+    per_module = None
+    out = {}
+    for qbit in (32, 8):
+        tmodel = builder(mod, qbit)
+        tmodel.load_state_dict(
+            {k: torch.from_numpy(np.asarray(v)) for k, v in torch_sd.items()})
+        if qbit == 32 and calib_images is not None:
+            per_module = _calibrate_torch(tmodel, calib_images, batch, divisor)
+        if qbit == 8 and per_module is not None:
+            _inject_torch_scales(tmodel, per_module)
+        tmodel.eval()
+        if hasattr(tmodel, "reset_layer_inputs_outputs"):
+            tmodel.reset_layer_inputs_outputs()
+            tmodel.reset_layer_weights()
+        logits = []
+        with torch.no_grad():
+            for i in range(0, len(x_nchw), batch):
+                logits.append(
+                    tmodel(torch.from_numpy(x_nchw[i:i + batch])).numpy())
+        logits = np.concatenate(logits)
+        out[qbit] = (np.argmax(logits, -1), logits)
+    return out
+
+
+def run_net(name: str, *, train_steps: int = 300, batch_size: int = 64,
+            eval_images: int = 2000, eval_batch: int = 64, lr: float = 0.05,
+            seed: int = 0, reference_dir: str = "/root/reference") -> dict:
+    dataset, size, classes, _, modname, builder = NETS[name]
+    model, variables = train_our_model(
+        name, train_steps=train_steps, batch_size=batch_size, lr=lr,
+        seed=seed)
+
+    # held-out eval set: same class prototypes, fresh noise (seed offset)
+    n_batches = math.ceil(eval_images / eval_batch)
+    it = synthetic.SyntheticIterator(
+        image_size=size, num_classes=classes, batch_size=eval_batch,
+        num_batches=n_batches, seed=seed + 10_000)
+    images, labels = [], []
+    for x, y in it:
+        images.append(x); labels.append(y)
+    images = np.concatenate(images)[:eval_images]
+    labels = np.concatenate(labels)[:eval_images]
+
+    # reference workflow: calibrate the trained fp32 model, give BOTH
+    # frameworks' quantized models constants derived from the same
+    # calibration set (shipped constants belong to the reference's
+    # pretrained checkpoints, not these weights)
+    n_cal = min(512, eval_images)
+    cal_it = synthetic.SyntheticIterator(
+        image_size=size, num_classes=classes, batch_size=eval_batch,
+        num_batches=-(-n_cal // eval_batch), seed=seed + 20_000)
+    calib_images = np.concatenate([x for x, _ in cal_it])[:n_cal]
+    qscales = calibrate_trained(name, variables, calib_images, eval_batch)
+
+    ours = _eval_ours(name, variables, images, eval_batch, scales=qscales)
+
+    ref_mod = _import_ref_module(reference_dir, modname)
+    template = builder(ref_mod, 32).state_dict()
+    torch_sd = checkpoint.export_torch_state_dict(variables, template)
+    theirs = _eval_torch(name, torch_sd, images, eval_batch, reference_dir,
+                         calib_images=calib_images)
+
+    n = len(labels)
+
+    def acc(preds):
+        return 100.0 * float(np.mean(preds == labels))
+
+    pj32, pj8 = ours[32][0], ours[8][0]
+    pt32, pt8 = theirs[32][0], theirs[8][0]
+    flip_j = float(np.mean(pj32 != pj8))
+    flip_t = float(np.mean(pt32 != pt8))
+    # two-proportion binomial stderr for the flip-rate difference
+    se = math.sqrt(flip_j * (1 - flip_j) / n + flip_t * (1 - flip_t) / n)
+    lj, lt = ours[8][1], theirs[8][1]
+    cos = np.sum(lj * lt, -1) / (
+        np.linalg.norm(lj, axis=-1) * np.linalg.norm(lt, axis=-1) + 1e-30)
+    return {
+        "net": name, "n": n, "train_steps": train_steps,
+        "acc_fp32_ours": acc(pj32), "acc_slfp8_ours": acc(pj8),
+        "acc_fp32_torch": acc(pt32), "acc_slfp8_torch": acc(pt8),
+        "ptq_drop_ours": acc(pj32) - acc(pj8),
+        "ptq_drop_torch": acc(pt32) - acc(pt8),
+        "flip_rate_ours": flip_j, "flip_rate_torch": flip_t,
+        "flip_diff": flip_j - flip_t, "flip_diff_se": se,
+        "flip_within_2se": bool(abs(flip_j - flip_t) <= max(2 * se, 1e-12)),
+        "pred_match_fp32": float(np.mean(pj32 == pt32)),
+        "pred_match_slfp8": float(np.mean(pj8 == pt8)),
+        "logit_cos_slfp8_mean": float(np.mean(cos)),
+        "logit_cos_slfp8_min": float(np.min(cos)),
+    }
+
+
+def to_markdown(rows) -> str:
+    head = ("| net | n | fp32 top-1 (ours/torch) | SLFP8 top-1 (ours/torch) | "
+            "PTQ drop (ours/torch) | flip rate (ours/torch) | "
+            "flip diff ± 2se | pred match q8 | logit cos (mean/min) |\n"
+            "|---|---|---|---|---|---|---|---|---|\n")
+    body = ""
+    for r in rows:
+        body += (
+            f"| {r['net']} | {r['n']} "
+            f"| {r['acc_fp32_ours']:.2f} / {r['acc_fp32_torch']:.2f} "
+            f"| {r['acc_slfp8_ours']:.2f} / {r['acc_slfp8_torch']:.2f} "
+            f"| {r['ptq_drop_ours']:+.2f} / {r['ptq_drop_torch']:+.2f} "
+            f"| {100 * r['flip_rate_ours']:.2f}% / "
+            f"{100 * r['flip_rate_torch']:.2f}% "
+            f"| {100 * r['flip_diff']:+.2f}% ± {200 * r['flip_diff_se']:.2f}% "
+            f"| {100 * r['pred_match_slfp8']:.2f}% "
+            f"| {r['logit_cos_slfp8_mean']:.4f} / "
+            f"{r['logit_cos_slfp8_min']:.4f} |\n")
+    return head + body
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--nets", nargs="+", default=list(NETS))
+    p.add_argument("--train_steps", type=int, default=300)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--eval_images", type=int, default=2000)
+    p.add_argument("--eval_batch", type=int, default=64)
+    p.add_argument("--lr", type=float, default=0.05)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--reference_dir", type=str, default="/root/reference")
+    p.add_argument("--out", type=str, default=None,
+                   help="write a markdown table here")
+    p.add_argument("--jax_cache", type=str, default="/tmp/jax_cache")
+    cfg = p.parse_args(argv)
+    if cfg.jax_cache:
+        os.makedirs(cfg.jax_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cfg.jax_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    rows = []
+    for name in cfg.nets:
+        print(f"== {name} ==", flush=True)
+        r = run_net(name, train_steps=cfg.train_steps,
+                    batch_size=cfg.batch_size, eval_images=cfg.eval_images,
+                    eval_batch=cfg.eval_batch, lr=cfg.lr, seed=cfg.seed,
+                    reference_dir=cfg.reference_dir)
+        print(json.dumps(r), flush=True)
+        rows.append(r)
+    if cfg.out:
+        with open(cfg.out, "w") as f:
+            f.write(to_markdown(rows))
+    return rows
+
+
+if __name__ == "__main__":
+    main()

@@ -26,6 +26,7 @@ def create_model(
     num_classes: Optional[int] = None,
     frozen_weights: bool = False,
     use_pallas: Optional[bool] = None,
+    ratio: float = 1,
 ):
     """Build a model by reference driver name (see module docstring)."""
     from cnns_slfp_quantization_tpu.models import mobilenetv1
@@ -57,9 +58,11 @@ def create_model(
 
         # Both driver names build the ReLU architecture; they differ only in
         # which checkpoint is loaded (cifar100_train_eval.py:112-118).
+        # ``ratio`` selects the 0.5/1/1.5/2x width plan
+        # (reference shufflenet_v2.py:118-127).
         return shufflenetv2.ShuffleNetV2(
             scales=scales or calib.load_scales("shufflenetv2_cifar"),
-            num_classes=num_classes or 100, **common,
+            num_classes=num_classes or 100, ratio=ratio, **common,
         )
     if name in ("vgg16", "cifar/vgg16"):
         from cnns_slfp_quantization_tpu.models import vgg16
@@ -86,14 +89,23 @@ def create_model(
                 "imgnet/resnet_swish"):
         # activation-optimized variants (BASELINE config 4): SFP<4,4>
         # layerout quant + STL/Swish, the CIFAR-net recipe applied to
-        # ResNet-50 (an extension — the reference has no such imgnet variant)
+        # ResNet-50 (an extension — the reference has no such imgnet variant).
+        # Each variant ships its own calibration constants (swapping ReLU for
+        # STL/Swish changes every layer-input distribution; the reference's
+        # Swish variant likewise ships distinct ka/kw,
+        # nets_cifar/mobilenetv1.py:180-186 vs :14-19) — regenerable via
+        # tools/calibrate_act_variants.py.
         from cnns_slfp_quantization_tpu.models import resnet50
 
+        act = "stl" if name.endswith("stl") else "swish"
+        if scales is None:
+            try:
+                scales = calib.load_scales(f"resnet50_{act}_imgnet")
+            except FileNotFoundError:
+                scales = calib.load_scales("resnet50_imgnet")
         return resnet50.ResNet50(
-            scales=scales or calib.load_scales("resnet50_imgnet"),
-            num_classes=num_classes or 1000,
-            act="stl" if name.endswith("stl") else "swish",
-            layerout_quant=True, **common,
+            scales=scales, num_classes=num_classes or 1000,
+            act=act, layerout_quant=True, **common,
         )
     if name in ("alexnet", "imgnet/alexnet"):
         from cnns_slfp_quantization_tpu.models import alexnet

@@ -65,6 +65,17 @@ def as_model(scales, **kwargs):
     return _FusedModel()
 
 
+def _wv(w):
+    """Weight values for XLA convs: decode uint8 SLFP codes (packed
+    serving, ``ops.freeze.pack_variables``) or pass float values through."""
+    if w.dtype == jnp.uint8:
+        from cnns_slfp_quantization_tpu.kernels.fused_matmul import (
+            slfp34_decode_bits)
+
+        return slfp34_decode_bits(w)
+    return w
+
+
 def _bn_fold(params, stats, extra_scale: float):
     """Folded inference BN affine: y*scale + shift, with Ka*Kw pre-merged."""
     scale = params["scale"] / jnp.sqrt(stats["var"] + 1e-5)
@@ -171,9 +182,9 @@ def fused_apply(variables, x, *, scales,
     # --- stem: 7x7/2 XLA conv, signed input quantize, BN+ReLU, maxpool ----
     xq = qmm.quantize_act_pass(x, recip(0), nonneg=False)
     if s2d_stem:
-        y = _space_to_depth_stem(xq, params["conv1"]["kernel"])
+        y = _space_to_depth_stem(xq, _wv(params["conv1"]["kernel"]))
     else:
-        y = _xla_conv(xq, params["conv1"]["kernel"], stride=2, pad=3)
+        y = _xla_conv(xq, _wv(params["conv1"]["kernel"]), stride=2, pad=3)
     # NOTE pool(Q(x)) == Q(pool(x)) exactly (monotone quantizer), so the
     # quantize could fuse into the stem epilogue — measured SLOWER (9395 vs
     # 9697 img/s): pre-pool it quantizes 4x the elements, and that VPU cost
@@ -199,7 +210,7 @@ def fused_apply(variables, x, *, scales,
                 xq_sh = (xr if xr_quantized
                          else qmm.quantize_act_pass(xr, recip(sid + 1)))
                 identity = _xla_conv(
-                    xq_sh, params[f"{pre}_down_conv"]["kernel"],
+                    xq_sh, _wv(params[f"{pre}_down_conv"]["kernel"]),
                     stride=bstride)
                 identity = xla_post(identity, base, f"{pre}_down_bn",
                                     relu=False)
@@ -217,12 +228,12 @@ def fused_apply(variables, x, *, scales,
             else:
                 c1q = (c1_in if c1_recip is None
                        else qmm.quantize_act_pass(c1_in, c1_recip))
-                y1 = _xla_conv(c1q, params[f"{pre}_conv1"]["kernel"])
+                y1 = _xla_conv(c1q, _wv(params[f"{pre}_conv1"]["kernel"]))
                 y1q = xla_post(y1, sid + 1, f"{pre}_bn1",
                                quant_next=sid + 2)
 
             # conv2 (3x3, stride): XLA conv; epilogue fuses into the conv
-            y2 = _xla_conv(y1q, params[f"{pre}_conv2"]["kernel"],
+            y2 = _xla_conv(y1q, _wv(params[f"{pre}_conv2"]["kernel"]),
                            stride=bstride, pad=1)
             y2q = xla_post(y2, sid + 2, f"{pre}_bn2", quant_next=sid + 3)
 
@@ -238,7 +249,7 @@ def fused_apply(variables, x, *, scales,
                     quant_out_recip=None if qn is None else recip(qn),
                     residual=identity.reshape(-1, identity.shape[-1]))
             else:
-                y3 = _xla_conv(y2q, params[f"{pre}_conv3"]["kernel"])
+                y3 = _xla_conv(y2q, _wv(params[f"{pre}_conv3"]["kernel"]))
                 xr = xla_post(y3, sid + 3, f"{pre}_bn3", residual=identity,
                               quant_next=qn)
             xr_quantized = qn is not None
@@ -247,7 +258,7 @@ def fused_apply(variables, x, *, scales,
     xa = jnp.mean(xr.astype(jnp.float32), axis=(1, 2))
     xq = qmm.quantize_act_pass(xa, recip(53))
     wfc = params["fc"]["kernel"]
-    y = jnp.dot(xq, wfc.astype(jnp.bfloat16),
+    y = jnp.dot(xq, _wv(wfc).astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32)
     y = (y + params["fc"]["bias"] / np.float32(kaw(53))) * np.float32(kaw(53))
     return y.astype(jnp.bfloat16)

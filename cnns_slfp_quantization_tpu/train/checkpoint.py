@@ -181,6 +181,85 @@ def _unflatten_like(tree, new_leaves: dict):
     return walk(tree, ())
 
 
+def export_torch_state_dict(variables, template_state_dict):
+    """Inverse of :func:`import_torch_state_dict`: fill a torch model's
+    ``state_dict`` (used as a shape/order template) with our flax variables.
+
+    Enables training in this framework and evaluating the identical weights
+    in the reference PyTorch models (the oracle direction needed by the
+    statistical PTQ-accuracy harness, and the export path for torch-serving
+    users).  Same positional four-stream correspondence as import; shapes are
+    transposed back (HWIO -> OIHW, [in,out] -> [out,in]) and verified.
+
+    Returns a ``{name: np.ndarray}`` dict loadable via
+    ``tmodel.load_state_dict({k: torch.from_numpy(v) ...})``.
+    """
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    j_convs, j_dense, j_scale, j_bias = [], [], [], []
+    for keys, leaf in _flatten_with_path(params):
+        kind = keys[-1]
+        arr = np.asarray(leaf, dtype=np.float32)
+        if kind == "kernel" and arr.ndim == 4:
+            j_convs.append(np.transpose(arr, (3, 2, 0, 1)))  # HWIO -> OIHW
+        elif kind == "kernel" and arr.ndim == 2:
+            j_dense.append(np.transpose(arr, (1, 0)))  # [in,out] -> [out,in]
+        elif kind == "scale":
+            j_scale.append(arr)
+        elif kind == "bias":
+            j_bias.append(arr)
+        else:
+            raise ValueError(f"unexpected param leaf {keys}")
+    j_mean, j_var = [], []
+    for keys, leaf in _flatten_with_path(batch_stats):
+        kind = keys[-1]
+        arr = np.asarray(leaf, dtype=np.float32)
+        if kind == "mean":
+            j_mean.append(arr)
+        elif kind == "var":
+            j_var.append(arr)
+        else:
+            raise ValueError(f"unexpected batch_stats leaf {keys}")
+
+    consumed = {"conv": 0, "dense": 0, "scale": 0, "bias": 0,
+                "mean": 0, "var": 0}
+    out = {}
+    for name, t in template_state_dict.items():
+        tmpl = np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach")
+                          else t)
+        leaf = name.rsplit(".", 1)[-1]
+        if leaf == "num_batches_tracked":
+            out[name] = tmpl  # not tracked on our side; keep template value
+            continue
+        if leaf == "weight" and tmpl.ndim == 4:
+            arr = j_convs[consumed["conv"]]; consumed["conv"] += 1
+        elif leaf == "weight" and tmpl.ndim == 2:
+            arr = j_dense[consumed["dense"]]; consumed["dense"] += 1
+        elif leaf == "weight" and tmpl.ndim == 1:
+            arr = j_scale[consumed["scale"]]; consumed["scale"] += 1
+        elif leaf == "bias":
+            arr = j_bias[consumed["bias"]]; consumed["bias"] += 1
+        elif leaf == "running_mean":
+            arr = j_mean[consumed["mean"]]; consumed["mean"] += 1
+        elif leaf == "running_var":
+            arr = j_var[consumed["var"]]; consumed["var"] += 1
+        else:
+            raise ValueError(f"unexpected torch state_dict entry {name}")
+        if arr.shape != tmpl.shape:
+            raise ValueError(f"shape mismatch at {name}: "
+                             f"ours {arr.shape} vs torch {tmpl.shape}")
+        out[name] = arr
+    for kind, avail in (("conv", len(j_convs)), ("dense", len(j_dense)),
+                        ("scale", len(j_scale)), ("bias", len(j_bias)),
+                        ("mean", len(j_mean)), ("var", len(j_var))):
+        if consumed[kind] != avail:
+            raise ValueError(
+                f"{kind}: torch template consumed {consumed[kind]} of "
+                f"{avail} flax tensors")
+    return out
+
+
 def load_pth(path: str, variables, *, strict: bool = True):
     """torch.load a .pth file (CPU) and import it (reference :158-159)."""
     import torch

@@ -50,6 +50,28 @@ def test_dp_tp_step_matches_single_device(setup):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
 
 
+def test_track_stats_step_shardable(setup):
+    """DSGD with track_stats=True (C6 debug counters) must survive
+    shard_state: QSGDState.stats rides along in the sharded opt state and
+    the counters still update on the mesh."""
+    model, variables, _, x, y, rng = setup
+    tx = optimizers.dsgd(1e-3, 8, track_stats=True)
+    state = loop.TrainState.create(variables, tx)
+    train_step = loop.make_train_step(model, tx)
+    mesh = make_mesh(model=2)
+    with mesh:
+        state = steps.shard_state(state, mesh)
+        xs, ys = steps.place_batch(mesh, x, y)
+        state, _ = steps.jit_train_step(train_step, donate=False)(
+            state, xs, ys, rng)
+    stats = jax.device_get(state.opt_state.stats)
+    total = sum(int(np.sum(v)) for v in jax.tree.leaves(stats))
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree.leaves(state.params))
+    assert total > 0, "track_stats counters never updated under sharding"
+    assert total <= 3 * n_params
+
+
 def test_param_sharding_specs(setup):
     model, variables, tx, *_ = setup
     mesh = make_mesh(model=2)

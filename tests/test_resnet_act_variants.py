@@ -5,8 +5,32 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from cnns_slfp_quantization_tpu import models
+from cnns_slfp_quantization_tpu import calib, models
 from cnns_slfp_quantization_tpu.train import loop, optimizers
+
+
+@pytest.mark.parametrize("act", ["stl", "swish"])
+def test_act_variants_ship_their_own_calibration(act):
+    """ReLU->STL/Swish changes every layer-input distribution, so the
+    variants must NOT reuse the ReLU-calibrated resnet50_imgnet Ka
+    (the reference's Swish variant likewise ships distinct constants,
+    nets_cifar/mobilenetv1.py:180-186 vs :14-19)."""
+    try:
+        variant = calib.load_scales(f"resnet50_{act}_imgnet")
+    except FileNotFoundError:
+        pytest.skip("variant constants not generated yet "
+                    "(tools/calibrate_act_variants.py)")
+    relu = calib.load_scales("resnet50_imgnet")
+    assert len(variant.ka) == len(relu.ka)
+    # every post-activation conv input distribution changed; allow the stem
+    # (raw image input, index 0) to coincide
+    differing = np.sum(~np.isclose(variant.ka[1:], relu.ka[1:]))
+    assert differing >= 0.9 * (len(relu.ka) - 1), (
+        f"{differing} of {len(relu.ka) - 1} variant Ka differ — looks like "
+        "the ReLU constants were reused")
+    # and create_model wires the variant set in
+    m = models.create_model(f"resnet_{act}", 8)
+    np.testing.assert_array_equal(m.scales.ka, variant.ka)
 
 
 @pytest.mark.parametrize("name,act", [("resnet_stl", "stl"),

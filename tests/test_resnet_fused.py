@@ -44,3 +44,30 @@ def test_fused_apply_matches_module(frozen_resnet, policy):
                 (np.linalg.norm(got) * np.linalg.norm(want) + 1e-30))
     assert cos > 0.995, f"policy={policy}: cos={cos}"
     np.testing.assert_array_equal(np.argmax(got, -1), np.argmax(want, -1))
+
+
+@pytest.mark.parametrize("policy", [
+    {"conv1": "xla", "conv3": "xla"},
+    {"conv1": "pallas", "conv3": "pallas"},
+])
+def test_fused_apply_packed_uint8(frozen_resnet, policy):
+    """Packed serving: uint8 SLFP codes through the whole executor
+    (VMEM decode in the Pallas kernels, jnp decode for XLA convs) must
+    reproduce the float-frozen executor bit-for-bit — the decode emits the
+    exact codebook values the bf16 frozen weights already hold."""
+    vf, x, _ = frozen_resnet
+    scales = calib.load_scales("resnet50_imgnet")
+    m = models.create_model("resnet", 8)
+    v = m.init(jax.random.PRNGKey(1), x[:1], train=False)
+    cap = models.create_model("resnet", 8, capture="full")
+    vp = freeze.pack_variables(cap, v, x[:1])
+    kernels = [p for p in jax.tree.leaves(vp["params"])
+               if getattr(p, "dtype", None) == jnp.uint8]
+    assert len(kernels) == 54  # 53 convs + fc, all packed
+    want = np.asarray(jax.jit(
+        lambda v, x: resnet50_fused.fused_apply(
+            v, x, scales=scales, policy=policy))(vf, x), np.float32)
+    got = np.asarray(jax.jit(
+        lambda v, x: resnet50_fused.fused_apply(
+            v, x, scales=scales, policy=policy))(vp, x), np.float32)
+    np.testing.assert_array_equal(got, want)

@@ -106,6 +106,12 @@ CASES = [
      "mobilenet_swish", 32, [32, 8]),
     ("shufflenet", lambda m, q: m.ShuffleNetV2(qbit=q), "shufflenetv2", 32,
      [32, 8]),
+    # width ratios (reference shufflenet_v2.py:120-127); registry plumbs
+    # ``ratio`` through create_model
+    ("shufflenet", lambda m, q: m.ShuffleNetV2(qbit=q, ratio=0.5),
+     "shufflenetv2@0.5", 32, [32, 8]),
+    ("shufflenet", lambda m, q: m.ShuffleNetV2(qbit=q, ratio=2),
+     "shufflenetv2@2", 32, [32, 8]),
     ("vgg16", lambda m, q: m.VGG16_Q(qbit=q), "vgg16", 32, [32, 8]),
     ("vgg16", lambda m, q: m.VGG16_gelu(qbit=q), "vgg16_gelu", 32, [32, 8]),
     ("resnet50", lambda m, q: m.ResNet50(qbit=q), "resnet", 64, [32, 8]),
@@ -122,6 +128,10 @@ CASES = [
 @pytest.mark.parametrize("case", CASES, ids=[c[2] for c in CASES])
 def test_logit_parity(ref_modules, case):
     ref_name, builder, our_name, size, qbits = case
+    kwargs = {}
+    if "@" in our_name:
+        our_name, ratio = our_name.split("@")
+        kwargs["ratio"] = float(ratio)
     for qbit in qbits:
         torch.manual_seed(42)
         tmodel = builder(ref_modules[ref_name], qbit)
@@ -132,5 +142,5 @@ def test_logit_parity(ref_modules, case):
             x = rng.normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
         else:
             x = rng.normal(0, 1, (2, 3, size, size)).astype(np.float32)
-        jmodel = models.create_model(our_name, qbit)
+        jmodel = models.create_model(our_name, qbit, **kwargs)
         _compare(tmodel, jmodel, x, qbit=qbit)
