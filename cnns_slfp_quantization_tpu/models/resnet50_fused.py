@@ -137,9 +137,21 @@ def _space_to_depth_stem(xq, w, *, pad=3):
 
 def fused_apply(variables, x, *, scales,
                 policy: Optional[dict] = None, s2d_stem: bool = True,
-                interpret: Optional[bool] = None) -> jax.Array:
-    """SLFP8 ResNet-50 forward on pre-quantized (frozen) variables."""
+                interpret: Optional[bool] = None,
+                quant_sites: Optional[frozenset] = None,
+                blockin_fuse: str = "consumer") -> jax.Array:
+    """SLFP8 ResNet-50 forward on pre-quantized (frozen) variables.
+
+    ``quant_sites`` (perf diagnosis only, tools/bench_quant_sites.py):
+    subset of {"stem","blockin","c1out","c2out","c3out","head"} naming which
+    activation-quantize sites stay enabled; None = all (production).
+    Disabling a site feeds the consumer the raw bf16 tensor — wrong
+    numerics, identical shapes/dtypes, isolates that site's VPU cost.
+    """
     pol = dict(DEFAULT_POLICY, **(policy or {}))
+
+    def q_on(site):
+        return quant_sites is None or site in quant_sites
     params = variables["params"]
     stats = variables["batch_stats"]
     ka, kw = scales.ka, scales.kw
@@ -168,19 +180,21 @@ def fused_apply(variables, x, *, scales,
                           interpret=interpret, **kw_args)
         return y.reshape(*lead, y.shape[-1])
 
-    def xla_post(y, sid, bn, *, residual=None, relu=True, quant_next=None):
+    def xla_post(y, sid, bn, *, residual=None, relu=True, quant_next=None,
+                 site=None):
         s, t = _bn_fold(params[bn], stats[bn], kaw(sid))
         y = y * s + t
         if residual is not None:
             y = y + residual.astype(jnp.float32)
         if relu:
             y = jnp.maximum(y, 0.0)
-        if quant_next is not None:
+        if quant_next is not None and (site is None or q_on(site)):
             return qmm.quantize_act_pass(y, recip(quant_next))
         return y.astype(jnp.bfloat16)
 
     # --- stem: 7x7/2 XLA conv, signed input quantize, BN+ReLU, maxpool ----
-    xq = qmm.quantize_act_pass(x, recip(0), nonneg=False)
+    xq = (qmm.quantize_act_pass(x, recip(0), nonneg=False)
+          if q_on("stem") else x.astype(jnp.bfloat16))
     if s2d_stem:
         y = _space_to_depth_stem(xq, _wv(params["conv1"]["kernel"]))
     else:
@@ -195,7 +209,12 @@ def fused_apply(variables, x, *, scales,
         jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
         ((0, 0), (1, 1), (1, 1), (0, 0)))
 
-    xr, xr_quantized = y, False  # raw bf16 stream
+    # block-output stream: raw bf16 tensor (residual consumer) + optionally
+    # the same tensor already quantized for the next block's conv1 (emitted
+    # by the producer's epilogue as a second fusion output — saves the
+    # standalone block-input quantize pass, the largest single quantize
+    # cost measured by tools/bench_quant_sites.py: ~10% of the forward)
+    xr_raw, xr_q = y, None
     for s_idx, (planes, blocks, stride, base) in enumerate(_STAGES):
         for b in range(blocks):
             bstride = stride if b == 0 else 1
@@ -205,10 +224,14 @@ def fused_apply(variables, x, *, scales,
             if has_ds:
                 # conv1 & downsample share Ka (same producer tensor); the
                 # shared quantized input was already emitted by the
-                # producer's epilogue (stem pre-pool quantize / previous
-                # stage's last conv3 quant_next), so no standalone pass.
-                xq_sh = (xr if xr_quantized
-                         else qmm.quantize_act_pass(xr, recip(sid + 1)))
+                # producer's epilogue (previous stage's last conv3
+                # quant_next), so no standalone pass.
+                if xr_q is not None:
+                    xq_sh = xr_q
+                elif q_on("blockin"):
+                    xq_sh = qmm.quantize_act_pass(xr_raw, recip(sid + 1))
+                else:
+                    xq_sh = xr_raw
                 identity = _xla_conv(
                     xq_sh, _wv(params[f"{pre}_down_conv"]["kernel"]),
                     stride=bstride)
@@ -216,8 +239,11 @@ def fused_apply(variables, x, *, scales,
                                     relu=False)
                 c1_in, c1_recip = xq_sh, None
             else:
-                identity = xr
-                c1_in, c1_recip = xr, recip(sid + 1)
+                identity = xr_raw
+                if xr_q is not None:
+                    c1_in, c1_recip = xr_q, None
+                else:
+                    c1_in, c1_recip = xr_raw, recip(sid + 1)
 
             # conv1 (1x1): quantize->mm->BN+ReLU->quantize-for-conv2
             if pol["conv1"] == "pallas":
@@ -226,37 +252,64 @@ def fused_apply(variables, x, *, scales,
                     relu=True, quant_in_recip=c1_recip,
                     quant_out_recip=recip(sid + 2))
             else:
-                c1q = (c1_in if c1_recip is None
+                c1q = (c1_in if c1_recip is None or not q_on("blockin")
                        else qmm.quantize_act_pass(c1_in, c1_recip))
                 y1 = _xla_conv(c1q, _wv(params[f"{pre}_conv1"]["kernel"]))
                 y1q = xla_post(y1, sid + 1, f"{pre}_bn1",
-                               quant_next=sid + 2)
+                               quant_next=sid + 2, site="c1out")
 
             # conv2 (3x3, stride): XLA conv; epilogue fuses into the conv
             y2 = _xla_conv(y1q, _wv(params[f"{pre}_conv2"]["kernel"]),
                            stride=bstride, pad=1)
-            y2q = xla_post(y2, sid + 2, f"{pre}_bn2", quant_next=sid + 3)
+            y2q = xla_post(y2, sid + 2, f"{pre}_bn2", quant_next=sid + 3,
+                           site="c2out")
 
-            # conv3 (1x1): mm->BN->+identity->ReLU -> block output.  For the
-            # last block of a stage the raw tensor has no other consumer, so
-            # the next stage's shared quantize moves into this epilogue.
-            qn = (_STAGES[s_idx + 1][3] + 1
-                  if b == blocks - 1 and s_idx + 1 < len(_STAGES) else None)
+            # conv3 (1x1): mm->BN->+identity->ReLU -> block output.
+            # Stage boundary: the raw tensor has no other consumer (the next
+            # block's identity comes from its downsample conv), so only the
+            # quantized form is emitted.  Mid-stage: the next block needs
+            # BOTH the raw tensor (residual) and its quantized form (conv1
+            # input) — emit them as two outputs of one epilogue.
+            last_of_stage = b == blocks - 1
+            if last_of_stage:
+                qn = (_STAGES[s_idx + 1][3] + 1
+                      if s_idx + 1 < len(_STAGES) else None)
+            else:
+                qn = sid + 4  # next block's conv1 input scale id
             if pol["conv3"] == "pallas":
-                xr = pallas_mm(
+                xr_raw = pallas_mm(
                     y2q, f"{pre}_conv3", sid + 3, f"{pre}_bn3",
                     relu=True,
-                    quant_out_recip=None if qn is None else recip(qn),
+                    quant_out_recip=(recip(qn) if last_of_stage and
+                                     qn is not None else None),
                     residual=identity.reshape(-1, identity.shape[-1]))
+                xr_q = xr_raw if last_of_stage and qn is not None else None
             else:
                 y3 = _xla_conv(y2q, _wv(params[f"{pre}_conv3"]["kernel"]))
-                xr = xla_post(y3, sid + 3, f"{pre}_bn3", residual=identity,
-                              quant_next=qn)
-            xr_quantized = qn is not None
+                if last_of_stage:
+                    xr_raw = xla_post(y3, sid + 3, f"{pre}_bn3",
+                                      residual=identity, quant_next=qn,
+                                      site="c3out")
+                    xr_q = xr_raw if qn is not None and q_on("c3out") else None
+                elif blockin_fuse == "producer" and q_on("blockin"):
+                    # express BOTH outputs as chains on the conv output y3:
+                    # XLA can multi-output-fuse them into the conv epilogue
+                    # (the affine+residual+relu recomputes — cheap VPU ops —
+                    # while y3 and xr_raw stay out of the quantize's HBM path)
+                    xr_raw = xla_post(y3, sid + 3, f"{pre}_bn3",
+                                      residual=identity)
+                    xr_q = xla_post(y3, sid + 3, f"{pre}_bn3",
+                                    residual=identity, quant_next=qn)
+                else:
+                    xr_raw = xla_post(y3, sid + 3, f"{pre}_bn3",
+                                      residual=identity)
+                    xr_q = (qmm.quantize_act_pass(xr_raw, recip(qn))
+                            if q_on("blockin") else None)
 
     # --- head: global avgpool + quantized FC (linear_Q semantics) ---------
-    xa = jnp.mean(xr.astype(jnp.float32), axis=(1, 2))
-    xq = qmm.quantize_act_pass(xa, recip(53))
+    xa = jnp.mean(xr_raw.astype(jnp.float32), axis=(1, 2))
+    xq = (qmm.quantize_act_pass(xa, recip(53)) if q_on("head")
+          else xa.astype(jnp.bfloat16))
     wfc = params["fc"]["kernel"]
     y = jnp.dot(xq, _wv(wfc).astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32)
