@@ -42,8 +42,17 @@ class TrainState(flax.struct.PyTreeNode):
 
 
 def cross_entropy(logits, labels):
-    return jnp.mean(
-        optax.softmax_cross_entropy_with_integer_labels(logits, labels))
+    """Mean CE over integer labels (reference: nn.CrossEntropyLoss).
+
+    Computed directly (logsumexp - label logit, the same decomposition
+    optax's helper uses, without its chex type-probing — whose error
+    path masks the actual offending value under jit).
+    """
+    logits = logits.astype(jnp.float32)
+    logz = jax.scipy.special.logsumexp(logits, axis=-1)
+    ll = jnp.take_along_axis(logits, labels[:, None].astype(jnp.int32),
+                             axis=-1)[:, 0]
+    return jnp.mean(logz - ll)
 
 
 def make_train_step(model, tx: optax.GradientTransformation,
@@ -53,8 +62,8 @@ def make_train_step(model, tx: optax.GradientTransformation,
     def step(state: TrainState, images, labels, rng):
         def loss_fn(params):
             variables = {"params": params}
-            mutable = []
-            if state.batch_stats:
+            mutable = False  # flax returns a bare output for mutable=False;
+            if state.batch_stats:  # [] would still return an (out, {}) tuple
                 variables["batch_stats"] = state.batch_stats
                 mutable = ["batch_stats"]
             rngs = {"dropout": rng} if has_dropout else None
