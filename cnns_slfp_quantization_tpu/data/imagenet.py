@@ -1,9 +1,10 @@
 """ImageNet-1k ImageFolder loading with a threaded host pipeline.
 
 Walks the torchvision ImageFolder layout (``<root>/{train,val}/<wnid>/*.JPEG``,
-imgnet_train_eval.py:71-86), decodes/augments on host worker threads, and
-yields ready NHWC float32 batches.  The heavy decode path is replaceable by
-the native C++ loader (``native/``) when built.
+imgnet_train_eval.py:71-86), decodes/augments on host worker threads
+(PIL per image), and yields ready NHWC float32 batches.  The native C++
+runtime (``native/``) covers the CIFAR augmenter and the SLFP codec, not
+JPEG decode — this path stays PIL-on-threads.
 """
 
 from __future__ import annotations

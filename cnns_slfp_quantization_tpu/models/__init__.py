@@ -31,6 +31,13 @@ def create_model(
     """Build a model by reference driver name (see module docstring)."""
     from cnns_slfp_quantization_tpu.models import mobilenetv1
 
+    if ratio != 1 and name.split("/")[-1] not in (
+            "shufflenetv2", "shufflenetv2_swish"):
+        # only ShuffleNetV2 has width plans (reference shufflenet_v2.py:118-127);
+        # silently ignoring --ratio for other nets would misreport the model
+        raise ValueError(
+            f"ratio={ratio} is only supported by shufflenetv2 (got {name!r})")
+
     common = dict(qbit=qbit, capture=capture, compute_dtype=compute_dtype)
     if name not in ("inceptionv3", "imgnet/inceptionv3"):
         common["frozen_weights"] = frozen_weights
@@ -99,10 +106,27 @@ def create_model(
 
         act = "stl" if name.endswith("stl") else "swish"
         if scales is None:
+            import warnings
+
             try:
                 scales = calib.load_scales(f"resnet50_{act}_imgnet")
             except FileNotFoundError:
+                # swapping ReLU for STL/Swish changes every layer-input
+                # distribution; reusing the ReLU Ka silently is the stale-Ka
+                # bug — make the fallback loud.
+                warnings.warn(
+                    f"calibration constants resnet50_{act}_imgnet.json not "
+                    f"found; falling back to the ReLU-calibrated "
+                    f"resnet50_imgnet constants, which are WRONG for the "
+                    f"{act} variant — recalibrate with "
+                    f"tools/calibrate_act_variants.py", stacklevel=2)
                 scales = calib.load_scales("resnet50_imgnet")
+            if qbit < 32 and "synthetic" in scales.source:
+                warnings.warn(
+                    f"{name}: shipped default constants are calibrated from "
+                    f"a synthetic-data model ({scales.source!r}); for real "
+                    f"checkpoints recalibrate via --pre_reference before "
+                    f"quantized inference", stacklevel=2)
         return resnet50.ResNet50(
             scales=scales, num_classes=num_classes or 1000,
             act=act, layerout_quant=True, **common,

@@ -138,17 +138,22 @@ def _space_to_depth_stem(xq, w, *, pad=3):
 def fused_apply(variables, x, *, scales,
                 policy: Optional[dict] = None, s2d_stem: bool = True,
                 interpret: Optional[bool] = None,
-                quant_sites: Optional[frozenset] = None,
-                blockin_fuse: str = "consumer") -> jax.Array:
+                _diag_quant_sites: Optional[frozenset] = None,
+                _diag_blockin_fuse: str = "consumer") -> jax.Array:
     """SLFP8 ResNet-50 forward on pre-quantized (frozen) variables.
 
-    ``quant_sites`` (perf diagnosis only, tools/bench_quant_sites.py):
-    subset of {"stem","blockin","c1out","c2out","c3out","head"} naming which
+    The underscore-prefixed ``_diag_*`` knobs are PERF DIAGNOSIS ONLY
+    (tools/bench_quant_sites.py, tools/bench_blockin.py) and deliberately
+    produce WRONG numerics with identical shapes — never set them on a
+    production path.  ``_diag_quant_sites``: subset of
+    {"stem","blockin","c1out","c2out","c3out","head"} naming which
     activation-quantize sites stay enabled; None = all (production).
-    Disabling a site feeds the consumer the raw bf16 tensor — wrong
-    numerics, identical shapes/dtypes, isolates that site's VPU cost.
+    Disabling a site feeds the consumer the raw bf16 tensor, isolating that
+    site's VPU cost.
     """
     pol = dict(DEFAULT_POLICY, **(policy or {}))
+    quant_sites = _diag_quant_sites
+    blockin_fuse = _diag_blockin_fuse
 
     def q_on(site):
         return quant_sites is None or site in quant_sites
@@ -300,6 +305,29 @@ def fused_apply(variables, x, *, scales,
                                       residual=identity)
                     xr_q = xla_post(y3, sid + 3, f"{pre}_bn3",
                                     residual=identity, quant_next=qn)
+                elif blockin_fuse == "pallas_dual" and q_on("blockin"):
+                    # hand dual-output epilogue: BN affine + residual + ReLU
+                    # computed once from the (materialized f32) conv output,
+                    # raw bf16 + quantized bf16 written in one HBM pass
+                    # (tools/bench_blockin.py lever A)
+                    from cnns_slfp_quantization_tpu.kernels import epilogue
+
+                    s, t = _bn_fold(params[f"{pre}_bn3"],
+                                    stats[f"{pre}_bn3"], kaw(sid + 3))
+                    xr_raw, xr_q = epilogue.dual_epilogue(
+                        y3, identity, s, t, recip(qn), interpret=interpret)
+                elif blockin_fuse == "packed" and q_on("blockin"):
+                    # uint8 SLFP codes for the block-input stream: halves the
+                    # standalone pass's write, but the XLA consumer conv
+                    # needs a bf16 input, so a decode pass re-materializes it
+                    # (tools/bench_blockin.py lever B)
+                    from cnns_slfp_quantization_tpu.kernels import quantize
+
+                    xr_raw = xla_post(y3, sid + 3, f"{pre}_bn3",
+                                      residual=identity)
+                    codes = quantize.slfp34_pack_bits(
+                        xr_raw.astype(jnp.float32) * np.float32(recip(qn)))
+                    xr_q = _wv(codes).astype(jnp.bfloat16)
                 else:
                     xr_raw = xla_post(y3, sid + 3, f"{pre}_bn3",
                                       residual=identity)

@@ -43,7 +43,7 @@ def main():
                           jnp.float32)
 
     def measure(sites, label):
-        model = resnet50_fused.as_model(scales, quant_sites=sites)
+        model = resnet50_fused.as_model(scales, _diag_quant_sites=sites)
         r = scan_throughput(model, vf, x, steps=cfg.steps)
         print(json.dumps({"config": label, "img_per_sec": round(r, 1)}),
               flush=True)
