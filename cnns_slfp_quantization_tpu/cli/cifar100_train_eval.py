@@ -51,7 +51,8 @@ def main(argv=None):
         print("==> using synthetic data")
         train_batches = synthetic.SyntheticIterator(
             image_size=32, num_classes=cfg.cifar,
-            batch_size=cfg.train_batch_size, num_batches=20, seed=0)
+            batch_size=cfg.train_batch_size,
+            num_batches=cfg.synthetic_batches or 20, seed=0)
         eval_batches = synthetic.SyntheticIterator(
             image_size=32, num_classes=cfg.cifar,
             batch_size=cfg.eval_batch_size, num_batches=8, seed=1)
@@ -77,7 +78,7 @@ def main(argv=None):
         return
 
     has_dropout = cfg.net.startswith("vgg16")
-    common.run_main_loop(
+    return common.run_main_loop(
         cfg, model, variables, train_batches, eval_batches,
         max_epochs=cfg.max_epochs, log_dir=log_dir,
         ckpt_path=os.path.join(ckpt_dir, f"{cfg.net}{cfg.num}_tmp"),

@@ -17,6 +17,7 @@ save.  Divergences (documented in SURVEY.md §5):
 from __future__ import annotations
 
 import json
+import os
 import time
 from types import SimpleNamespace
 
@@ -48,6 +49,9 @@ def add_common_args(parser):
     parser.add_argument("--num_workers", type=int, default=4)
     parser.add_argument("--synthetic", action="store_true", default=False,
                         help="use generated data (no dataset needed)")
+    parser.add_argument("--synthetic_batches", type=int, default=None,
+                        help="train batches per epoch under --synthetic "
+                             "(default: 20 cifar / 10 imgnet)")
     parser.add_argument("--train_subset", type=float, default=1.0,
                         help="class-stratified fraction of the train set for "
                              "fine-tune recovery (reference README.md:12 "
@@ -134,16 +138,94 @@ def run_calibration(cfg, model_name, net, variables, eval_batches,
     return result
 
 
+def _state_meta_path(state_path: str) -> str:
+    """Sidecar for non-pytree train-loop state (epoch alignment + best acc)."""
+    return str(state_path).rstrip("/") + ".meta.json"
+
+
+def build_mesh(cfg):
+    """('data','model') mesh from --mesh_data/--mesh_model (None if both
+    defaulted: single-device path, zero sharding overhead)."""
+    md = getattr(cfg, "mesh_data", 0)
+    mm = getattr(cfg, "mesh_model", 1)
+    if not md and mm <= 1:
+        return None
+    from cnns_slfp_quantization_tpu.parallel import make_mesh
+
+    if md:
+        # use exactly the requested data*model devices (a 4x1 request on an
+        # 8-device host is valid — the rest stay idle)
+        mesh = make_mesh(data=md, model=mm,
+                         devices=jax.devices()[:md * mm])
+    else:
+        mesh = make_mesh(data=None, model=mm)
+    print(f"==> device mesh {dict(mesh.shape)} "
+          f"({jax.process_count()} process(es))")
+    return mesh
+
+
+class PlacedBatches:
+    """Re-iterable batch stream placed onto a ('data','model') mesh.
+
+    Single-process: every batch is device_put with the batch dim sharded
+    over 'data' (weights replicated / TP-sharded by the state shardings).
+    Multi-process: each host keeps every ``process_count``-th batch of its
+    local stream and contributes it as one shard of a global batch
+    (``multihost.global_batch`` -> jax.make_array_from_process_local_data),
+    so the global batch size is local_batch * process_count.
+    """
+
+    def __init__(self, batches, mesh):
+        self._batches = batches
+        self._mesh = mesh
+
+    def __len__(self):
+        n = len(self._batches)
+        pc = jax.process_count()
+        return n // pc if pc > 1 else n
+
+    def __iter__(self):
+        from cnns_slfp_quantization_tpu.parallel import multihost, steps
+
+        ndata = self._mesh.shape["data"]
+        it = iter(self._batches)
+        if jax.process_count() > 1:
+            it = multihost.shard_data_iterator(it)
+            for images, labels in it:
+                yield multihost.global_batch(self._mesh, np.asarray(images),
+                                             np.asarray(labels))
+            return
+        for images, labels in it:
+            if images.shape[0] % ndata:
+                raise ValueError(
+                    f"batch size {images.shape[0]} not divisible by the "
+                    f"data-parallel mesh axis ({ndata}); pick "
+                    f"--train_batch_size/--eval_batch_size divisible by "
+                    f"--mesh_data")
+            yield steps.place_batch(self._mesh, jnp.asarray(images),
+                                    jnp.asarray(labels))
+
+
 def run_main_loop(cfg, model, variables, train_batches, eval_batches,
                   *, max_epochs, log_dir, ckpt_path, steps_per_epoch,
                   milestones=(75, 85, 100), eval_max_images=None,
                   has_dropout=False):
-    """Epoch loop (cifar100_train_eval.py:303-320)."""
+    """Epoch loop (cifar100_train_eval.py:303-320).
+
+    With ``--mesh_data``/``--mesh_model`` the same loop runs SPMD over a
+    ('data','model') mesh: state sharded once up front (DP-replicated /
+    TP-out-channel weights), every batch placed with the batch dim sharded
+    over 'data', gradient reductions and TP boundary collectives inserted by
+    GSPMD (SURVEY.md §2.3).  Multi-host runs additionally split the input
+    stream per process (parallel/multihost.py).
+    """
     logger = MetricLogger(log_dir)
     lr_sched = loop.multistep_lr(cfg.lr, milestones, 0.1, steps_per_epoch)
     tx = optimizers.create_optimizer(cfg.optimizer, lr_sched, cfg.Qbits,
                                      weight_decay=cfg.wd)
+    mesh = build_mesh(cfg)
     state = loop.TrainState.create(variables, tx)
+    resumed_meta = {}
     if getattr(cfg, "resume", None):
         # restart-based recovery (SURVEY.md §5): restore the full train
         # state (params, BN stats, optimizer momentum, step counter)
@@ -151,12 +233,37 @@ def run_main_loop(cfg, model, variables, train_batches, eval_batches,
         state = jax.tree.map(jnp.asarray, restored)
         print(f"==> resumed train state from {cfg.resume} "
               f"(step {int(state.step)})")
+        # sidecar metadata: epoch numbering (and therefore the per-epoch
+        # fold_in RNG stream + multistep LR alignment) is derived from
+        # steps_per_epoch; resuming with a different batch/dataset size
+        # silently shifts all three, and acc_max restarting at 0.0 could let
+        # --save_model overwrite a better pre-restart best checkpoint.
+        meta_path = _state_meta_path(cfg.resume)
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                resumed_meta = json.load(f)
+            if resumed_meta.get("steps_per_epoch") not in (
+                    None, steps_per_epoch):
+                import warnings
+
+                warnings.warn(
+                    f"--resume: checkpoint was saved with steps_per_epoch="
+                    f"{resumed_meta['steps_per_epoch']} but this run has "
+                    f"{steps_per_epoch}; epoch numbering, the per-epoch RNG "
+                    f"stream and the multistep LR schedule will not line up "
+                    f"with the original run", stacklevel=2)
+    if mesh is not None:
+        from cnns_slfp_quantization_tpu.parallel import steps as psteps
+
+        state = psteps.shard_state(state, mesh)
+        train_batches = PlacedBatches(train_batches, mesh)
+        eval_batches = PlacedBatches(eval_batches, mesh)
     train_step = jax.jit(loop.make_train_step(model, tx, has_dropout),
                          donate_argnums=0)
     eval_step = jax.jit(loop.make_eval_step(model))
 
     rng = jax.random.PRNGKey(cfg.num)
-    acc_data, acc_max = [], 0.0
+    acc_data, acc_max = [], float(resumed_meta.get("acc_max", 0.0))
     # resume continues the epoch numbering from the restored step counter so
     # the per-epoch fold_in key stream matches an uninterrupted run (epoch 0
     # keys must not replay after a restart)
@@ -188,6 +295,10 @@ def run_main_loop(cfg, model, variables, train_batches, eval_batches,
             checkpoint.save(ckpt_path, jax.device_get(state.variables()))
             print(f"max acc : {acc_max}\nsaving model....")
         if getattr(cfg, "save_state", False):
-            checkpoint.save(ckpt_path + "_state", jax.device_get(state))
+            state_path = ckpt_path + "_state"
+            checkpoint.save(state_path, jax.device_get(state))
+            with open(_state_meta_path(state_path), "w") as f:
+                json.dump({"steps_per_epoch": steps_per_epoch,
+                           "acc_max": acc_max, "epoch": epoch}, f)
     logger.close()
     return state, acc_data

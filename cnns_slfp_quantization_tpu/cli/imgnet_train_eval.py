@@ -44,7 +44,8 @@ def main(argv=None):
         print("==> using synthetic data")
         train_batches = synthetic.SyntheticIterator(
             image_size=224, num_classes=1000,
-            batch_size=cfg.train_batch_size, num_batches=10, seed=0)
+            batch_size=cfg.train_batch_size,
+            num_batches=cfg.synthetic_batches or 10, seed=0)
         # enough eval batches to cover the 100-image smoke cap regardless of
         # --eval_batch_size (the cap in run_main_loop slices exactly to 100)
         eval_n = max(8, -(-120 // cfg.eval_batch_size))
@@ -77,7 +78,7 @@ def main(argv=None):
     # imgnet_train_eval.py:182-185: 100-image smoke eval unless --all_validate
     eval_max = None if cfg.all_validate else 100
     has_dropout = cfg.net in ("alexnet", "squeezenet", "inceptionv3")
-    common.run_main_loop(
+    return common.run_main_loop(
         cfg, model, variables, train_batches, eval_batches,
         max_epochs=cfg.max_epochs, log_dir=log_dir,
         ckpt_path=os.path.join(ckpt_dir, f"{cfg.net}{cfg.num}_tmp"),

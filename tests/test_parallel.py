@@ -160,6 +160,70 @@ def test_fused_executor_sharded_inference():
     assert cos > 0.999, cos
 
 
+def test_cli_driver_mesh_training_matches_single_device(tmp_path):
+    """--mesh_data/--mesh_model are wired into the drivers: the SAME CLI
+    run sharded over a 4x2 ('data','model') mesh reproduces the
+    single-device loss trajectory (identical synthetic stream, rng) and the
+    final parameters, through cli.common.run_main_loop itself.
+
+    fp32 + SGD: equivalence-up-to-reduction-order is only defined on the
+    smooth path — at qbit=8 TP partial-sum rounding lands on quantization
+    bin cliffs (see the `setup` fixture note), and DSGD's 1e-4 stuck-weight
+    threshold is itself a cliff when lr*grad ~ 1e-4.  The sharded
+    *quantized DSGD* step is covered by test_dp_tp_step_matches_single_device
+    and the driver-path dryrun (__graft_entry__)."""
+    from cnns_slfp_quantization_tpu.cli import cifar100_train_eval
+
+    def run(mesh_args, sub):
+        state, accs = cifar100_train_eval.main([
+            "--synthetic", "--retrain", "--net", "mobilenet",
+            "--optimizer", "SGD", "--Qbits", "32",
+            "--train_batch_size", "8", "--eval_batch_size", "8",
+            "--synthetic_batches", "3", "--max_epochs", "1",
+            "--root_dir", str(tmp_path / sub), "--jax_cache", "",
+        ] + mesh_args)
+        return jax.device_get(state.params), accs
+
+    p_ref, acc_ref = run([], "single")
+    p_sh, acc_sh = run(["--mesh_data", "4", "--mesh_model", "2"], "mesh")
+    assert acc_sh == acc_ref
+    # sharded-vs-single parameter agreement up to reduction-order noise.
+    # Measured on this exact config: ~6e-5 worst-leaf divergence after one
+    # step, amplifying to ~2.7e-3 after 3 steps for DP-ONLY sharding (pure
+    # psum reordering, no TP) and ~3.7e-3 for dp+tp — batch-8 BatchNorm at a
+    # random init chaotically amplifies any reduction reordering, so
+    # trajectory identity is only defined up to that envelope.  Bit-level
+    # equivalence of one sharded step is test_dp_tp_step_matches_single_device.
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_sh)):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=5e-3)
+
+
+def test_scaling_bench_train_and_infer_rows():
+    """scaling_bench covers QAT training (fwd+bwd+DSGD, gradient psum over
+    'data') as well as inference; rows carry finite throughput."""
+    from cnns_slfp_quantization_tpu.parallel import scaling_bench
+
+    rows = scaling_bench.run("mobilenet", [1, 2], per_device_batch=4,
+                             image_size=32, qbit=8, mode="both")
+    kinds = {(r["mode"], r["devices"]) for r in rows}
+    assert kinds == {("infer", 1), ("infer", 2), ("train", 1), ("train", 2)}
+    for r in rows:
+        assert np.isfinite(r["images_per_sec"]) and r["images_per_sec"] > 0
+
+
+def test_cli_driver_mesh_batch_divisibility_error(tmp_path):
+    from cnns_slfp_quantization_tpu.cli import cifar100_train_eval
+
+    with pytest.raises(ValueError, match="not divisible"):
+        cifar100_train_eval.main([
+            "--synthetic", "--retrain", "--net", "mobilenet",
+            "--train_batch_size", "6", "--eval_batch_size", "6",
+            "--synthetic_batches", "1", "--max_epochs", "1",
+            "--mesh_data", "8", "--root_dir", str(tmp_path),
+            "--jax_cache", "",
+        ])
+
+
 def test_multihost_global_batch_and_iterator_sharding():
     """Single-process exercise of the multi-host mechanisms: global array
     assembly from process-local data, and per-host iterator slicing."""
