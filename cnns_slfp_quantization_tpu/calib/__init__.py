@@ -39,7 +39,13 @@ class ScaleSet:
 
 def load_scales(name: str) -> ScaleSet:
     """Load a named scale set (e.g. "mobilenetv1_cifar") from JSON."""
-    path = _CONSTANTS_DIR / f"{name}.json"
+    return load_scales_path(_CONSTANTS_DIR / f"{name}.json")
+
+
+def load_scales_path(path) -> ScaleSet:
+    """Load a scale-set JSON from an explicit path (e.g. the
+    ``--pre_reference`` calibration output under --root_dir/calib/)."""
+    path = pathlib.Path(path)
     data = json.loads(path.read_text())
     div = float(data["divisor"])
     return ScaleSet(

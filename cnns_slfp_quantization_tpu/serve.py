@@ -38,7 +38,19 @@ class InferenceEngine:
         use_pallas: Optional[bool] = False,
         fused: Optional[bool] = None,
         mesh=None,
+        scales=None,
     ):
+        # ``scales``: per-checkpoint calibration constants — a calib.ScaleSet
+        # or a path to a calibrated JSON (the --pre_reference output,
+        # reference workflow cifar100_train_eval.py:287-301).  Without it the
+        # shipped constants are used, which belong to the reference's
+        # pretrained checkpoints; a custom-calibrated checkpoint MUST pass
+        # its own scales or Ka/Kw are silently wrong at serve time.
+        if isinstance(scales, (str, bytes)) or hasattr(scales, "read_text"):
+            from cnns_slfp_quantization_tpu import calib as _calib
+
+            scales = _calib.load_scales_path(scales)
+        self.scales = scales
         # fused=None (auto): the BN-folded fused executor for SLFP8
         # ResNet-50 (+8% measured, bench.py's configuration) and the ReLU
         # MobileNetV1 variants (+7.3%) with float frozen weights — but never
@@ -83,7 +95,10 @@ class InferenceEngine:
 
         frozen = qbit in (7, 8)
         if frozen:
-            cap = models.create_model(net, qbit, capture="full")
+            # the capture model must carry the SAME scales: frozen weights
+            # are stored as Q_w(w/Kw), so a custom-calibrated Kw changes them
+            cap = models.create_model(net, qbit, capture="full",
+                                      scales=self.scales)
             if pack_weights and qbit == 8:
                 variables = freeze.pack_variables(cap, variables, sample)
             else:
@@ -97,19 +112,20 @@ class InferenceEngine:
                 from cnns_slfp_quantization_tpu.models import resnet50_fused
 
                 self.model = resnet50_fused.as_model(
-                    calib.load_scales("resnet50_imgnet"))
+                    self.scales or calib.load_scales("resnet50_imgnet"))
             else:
                 from cnns_slfp_quantization_tpu.models import mobilenetv1_fused
 
                 self.model = mobilenetv1_fused.as_model(
-                    calib.load_scales("mobilenetv1_cifar"
-                                      if self._fuse_kind == "mc"
-                                      else "mobilenetv1_imgnet"),
+                    self.scales or calib.load_scales(
+                        "mobilenetv1_cifar" if self._fuse_kind == "mc"
+                        else "mobilenetv1_imgnet"),
                     quant_classifier=self._fuse_kind == "mc")
         else:
             self.model = models.create_model(
                 net, qbit, compute_dtype=compute_dtype,
-                frozen_weights=frozen, use_pallas=use_pallas)
+                frozen_weights=frozen, use_pallas=use_pallas,
+                scales=self.scales)
         self._forward = jax.jit(
             lambda v, x: self.model.apply(v, x, train=False))
         if mesh is not None:

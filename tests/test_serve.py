@@ -56,6 +56,52 @@ def test_engine_fused_validation_and_overrides():
     assert not eng.fused
 
 
+def test_engine_custom_scales(tmp_path):
+    """Per-checkpoint calibration constants reach serving: calibrate a fresh
+    checkpoint on synthetic data (the --pre_reference workflow,
+    reference cifar100_train_eval.py:287-301), serve with the calibrated
+    JSON, and check the fused path matches the module path under the SAME
+    scales while differing from the shipped-constants engine."""
+    import jax
+
+    from cnns_slfp_quantization_tpu import calib, models
+    from cnns_slfp_quantization_tpu.calib import calibrate as calibrate_lib
+    from cnns_slfp_quantization_tpu.train import checkpoint as ckpt_lib
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 1.5, (8, 32, 32, 3)).astype(np.float32)
+
+    model = models.create_model("mobilenet", 32)
+    variables = model.init(jax.random.PRNGKey(5), x[:1], train=False)
+    ckpt_dir = str(tmp_path / "ckpt")
+    ckpt_lib.save(ckpt_dir, jax.device_get(variables))
+
+    cap = models.create_model("mobilenet", 32, capture="absmax")
+    result = calibrate_lib.calibrate(cap, variables, [(x,)], max_images=8)
+    json_path = calib.save_scales("custom", result.ka_max(), result.kw_max(),
+                                  15.5, out_dir=str(tmp_path))
+
+    eng = InferenceEngine("mobilenet", qbit=8, batch_size=4,
+                          checkpoint=ckpt_dir, scales=str(json_path))
+    assert eng.fused and eng.scales is not None
+    ref = InferenceEngine("mobilenet", qbit=8, batch_size=4, fused=False,
+                          checkpoint=ckpt_dir, scales=str(json_path))
+    # fused (offline BN fold, f32 affine) vs module path (live BN, bf16
+    # stream) drift lands on quantization bins; on a random-init model the
+    # logits are near-ties, so compare statistically (cf.
+    # test_fused_apply_matches_module)
+    le, lr = eng.predict(x), ref.predict(x)
+    cos = np.sum(le * lr, -1) / (np.linalg.norm(le, axis=-1)
+                                 * np.linalg.norm(lr, axis=-1) + 1e-30)
+    assert float(np.mean(cos)) > 0.99, cos
+
+    # the custom constants actually take effect (differ from shipped)
+    default_eng = InferenceEngine("mobilenet", qbit=8, batch_size=4,
+                                  checkpoint=ckpt_dir)
+    assert not np.allclose(eng.predict(x), default_eng.predict(x),
+                           rtol=1e-3, atol=1e-3)
+
+
 def test_engine_fused_mobilenet():
     eng = InferenceEngine("mobilenet", qbit=8, batch_size=2)
     assert eng.fused
