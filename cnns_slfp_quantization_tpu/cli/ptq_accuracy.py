@@ -47,10 +47,18 @@ from cnns_slfp_quantization_tpu.train import checkpoint, loop
 NETS = {
     "mobilenet": ("cifar", 32, 100, False, "nets_cifar.mobilenetv1",
                   lambda m, q: m.MobileNetV1_Q(ch_in=3, qbit=q)),
+    # act-optimized variants: layerout SFP<4,4> quant (the path with the
+    # reference's dead-subnormal bug, nets_cifar/mobilenetv1.py:176-208,
+    # vgg16.py:186-296) + Swish/GELU — statistical coverage beyond the
+    # 2-input logit parity test
+    "mobilenet_swish": ("cifar", 32, 100, False, "nets_cifar.mobilenetv1",
+                        lambda m, q: m.MobileNetV1_swish(ch_in=3, qbit=q)),
     "shufflenetv2": ("cifar", 32, 100, False, "nets_cifar.shufflenet_v2",
                      lambda m, q: m.ShuffleNetV2(qbit=q)),
     "vgg16": ("cifar", 32, 100, True, "nets_cifar.vgg16",
               lambda m, q: m.VGG16_Q(qbit=q)),
+    "vgg16_gelu": ("cifar", 32, 100, True, "nets_cifar.vgg16",
+                   lambda m, q: m.VGG16_gelu(qbit=q)),
     "mobilenetv1": ("imgnet", 224, 1000, False, "nets_imgnet.mobilenetv1",
                     lambda m, q: m.MobileNetV1_Q(ch_in=3, qbit=q)),
     # 64px keeps the torch-CPU oracle tractable; ResNet50's avgpool adapts
@@ -97,6 +105,11 @@ def train_our_model(name: str, *, train_steps: int, batch_size: int,
         rng, sub = jax.random.split(rng)
         state, metrics = step(state, jnp.asarray(images), jnp.asarray(labels),
                               sub)
+        if i % 8 == 0:
+            # host scalar fetch every few steps keeps the axon relay's
+            # async dispatch queue shallow (deep queues stall the relay —
+            # docs/DESIGN.md "Axon environment quirks")
+            float(jax.device_get(metrics["loss"]))
         if log_every and i % log_every == 0:
             m = jax.device_get(metrics)
             print(f"  [{name}] step {i}: loss={float(m['loss']):.3f} "
@@ -236,15 +249,11 @@ def _eval_torch(name: str, torch_sd, images_nhwc, batch: int,
     return out
 
 
-def run_net(name: str, *, train_steps: int = 300, batch_size: int = 64,
-            eval_images: int = 2000, eval_batch: int = 64, lr: float = 0.05,
-            seed: int = 0, reference_dir: str = "/root/reference") -> dict:
-    dataset, size, classes, _, modname, builder = NETS[name]
-    model, variables = train_our_model(
-        name, train_steps=train_steps, batch_size=batch_size, lr=lr,
-        seed=seed)
-
-    # held-out eval set: same class prototypes, fresh noise (seed offset)
+def gen_eval_sets(name: str, eval_images: int, eval_batch: int, seed: int):
+    """Deterministic held-out eval + calibration sets (same class
+    prototypes as training, fresh noise via seed offsets) — regenerable in
+    any process, so the staged artifacts don't need to carry image tensors."""
+    _, size, classes, _, _, _ = NETS[name]
     n_batches = math.ceil(eval_images / eval_batch)
     it = synthetic.SyntheticIterator(
         image_size=size, num_classes=classes, batch_size=eval_batch,
@@ -255,15 +264,32 @@ def run_net(name: str, *, train_steps: int = 300, batch_size: int = 64,
     images = np.concatenate(images)[:eval_images]
     labels = np.concatenate(labels)[:eval_images]
 
-    # reference workflow: calibrate the trained fp32 model, give BOTH
-    # frameworks' quantized models constants derived from the same
-    # calibration set (shipped constants belong to the reference's
-    # pretrained checkpoints, not these weights)
     n_cal = min(512, eval_images)
     cal_it = synthetic.SyntheticIterator(
         image_size=size, num_classes=classes, batch_size=eval_batch,
         num_batches=-(-n_cal // eval_batch), seed=seed + 20_000)
     calib_images = np.concatenate([x for x, _ in cal_it])[:n_cal]
+    return images, labels, calib_images
+
+
+def jax_stage(name: str, *, train_steps: int = 300, batch_size: int = 64,
+              eval_images: int = 2000, eval_batch: int = 64, lr: float = 0.05,
+              seed: int = 0, reference_dir: str = "/root/reference") -> dict:
+    """Everything that needs the TPU (or our framework): train, calibrate,
+    evaluate ours, export torch weights.  Returns the artifact dict the
+    (CPU-only, slow) torch stage consumes — stageable to disk so the torch
+    oracle can run in the background without holding the accelerator."""
+    dataset, size, classes, _, modname, builder = NETS[name]
+    model, variables = train_our_model(
+        name, train_steps=train_steps, batch_size=batch_size, lr=lr,
+        seed=seed)
+
+    images, labels, calib_images = gen_eval_sets(name, eval_images,
+                                                 eval_batch, seed)
+    # reference workflow: calibrate the trained fp32 model, give BOTH
+    # frameworks' quantized models constants derived from the same
+    # calibration set (shipped constants belong to the reference's
+    # pretrained checkpoints, not these weights)
     qscales = calibrate_trained(name, variables, calib_images, eval_batch)
 
     ours = _eval_ours(name, variables, images, eval_batch, scales=qscales)
@@ -271,25 +297,74 @@ def run_net(name: str, *, train_steps: int = 300, batch_size: int = 64,
     ref_mod = _import_ref_module(reference_dir, modname)
     template = builder(ref_mod, 32).state_dict()
     torch_sd = checkpoint.export_torch_state_dict(variables, template)
-    theirs = _eval_torch(name, torch_sd, images, eval_batch, reference_dir,
-                         calib_images=calib_images)
+    return {
+        "name": name, "train_steps": train_steps, "eval_batch": eval_batch,
+        "eval_images": eval_images, "seed": seed,
+        "images": images, "labels": labels, "calib_images": calib_images,
+        "pj32": ours[32][0], "pj8": ours[8][0], "lj8": ours[8][1],
+        "torch_sd": {k: np.asarray(v) for k, v in torch_sd.items()},
+    }
 
+
+def save_artifacts(art: dict, artifact_dir: str) -> str:
+    """Image tensors are NOT saved (gigabytes at 224px x 2000): the synthetic
+    sets are deterministic from (net, eval_images, eval_batch, seed) and are
+    regenerated by :func:`load_artifacts`."""
+    os.makedirs(artifact_dir, exist_ok=True)
+    path = os.path.join(artifact_dir, f"{art['name']}.npz")
+    flat = {k: art[k] for k in ("labels", "pj32", "pj8", "lj8")}
+    for k, v in art["torch_sd"].items():
+        flat[f"sd::{k}"] = v
+    flat["meta"] = np.asarray(
+        [art["train_steps"], art["eval_batch"], art["eval_images"],
+         art["seed"]], np.int64)
+    np.savez_compressed(path, **flat)
+    return path
+
+
+def load_artifacts(name: str, artifact_dir: str) -> dict:
+    with np.load(os.path.join(artifact_dir, f"{name}.npz")) as z:
+        art = {"name": name,
+               "train_steps": int(z["meta"][0]),
+               "eval_batch": int(z["meta"][1]),
+               "eval_images": int(z["meta"][2]),
+               "seed": int(z["meta"][3]),
+               "torch_sd": {k[4:]: z[k] for k in z.files
+                            if k.startswith("sd::")}}
+        for k in ("labels", "pj32", "pj8", "lj8"):
+            art[k] = z[k]
+    images, labels, calib_images = gen_eval_sets(
+        name, art["eval_images"], art["eval_batch"], art["seed"])
+    assert np.array_equal(labels, art["labels"]), (
+        "regenerated eval set does not match the jax stage (seed drift?)")
+    art["images"], art["calib_images"] = images, calib_images
+    return art
+
+
+def torch_stage(art: dict, *, reference_dir: str = "/root/reference") -> dict:
+    """The torch-oracle half: evaluate the reference model on the same
+    images/weights and compare PTQ flip statistics.  CPU-only."""
+    name = art["name"]
+    labels = art["labels"]
+    theirs = _eval_torch(name, art["torch_sd"], art["images"],
+                         art["eval_batch"], reference_dir,
+                         calib_images=art["calib_images"])
     n = len(labels)
 
     def acc(preds):
         return 100.0 * float(np.mean(preds == labels))
 
-    pj32, pj8 = ours[32][0], ours[8][0]
+    pj32, pj8 = art["pj32"], art["pj8"]
     pt32, pt8 = theirs[32][0], theirs[8][0]
     flip_j = float(np.mean(pj32 != pj8))
     flip_t = float(np.mean(pt32 != pt8))
     # two-proportion binomial stderr for the flip-rate difference
     se = math.sqrt(flip_j * (1 - flip_j) / n + flip_t * (1 - flip_t) / n)
-    lj, lt = ours[8][1], theirs[8][1]
+    lj, lt = art["lj8"], theirs[8][1]
     cos = np.sum(lj * lt, -1) / (
         np.linalg.norm(lj, axis=-1) * np.linalg.norm(lt, axis=-1) + 1e-30)
     return {
-        "net": name, "n": n, "train_steps": train_steps,
+        "net": name, "n": n, "train_steps": art["train_steps"],
         "acc_fp32_ours": acc(pj32), "acc_slfp8_ours": acc(pj8),
         "acc_fp32_torch": acc(pt32), "acc_slfp8_torch": acc(pt8),
         "ptq_drop_ours": acc(pj32) - acc(pj8),
@@ -302,6 +377,15 @@ def run_net(name: str, *, train_steps: int = 300, batch_size: int = 64,
         "logit_cos_slfp8_mean": float(np.mean(cos)),
         "logit_cos_slfp8_min": float(np.min(cos)),
     }
+
+
+def run_net(name: str, *, train_steps: int = 300, batch_size: int = 64,
+            eval_images: int = 2000, eval_batch: int = 64, lr: float = 0.05,
+            seed: int = 0, reference_dir: str = "/root/reference") -> dict:
+    art = jax_stage(name, train_steps=train_steps, batch_size=batch_size,
+                    eval_images=eval_images, eval_batch=eval_batch, lr=lr,
+                    seed=seed, reference_dir=reference_dir)
+    return torch_stage(art, reference_dir=reference_dir)
 
 
 def to_markdown(rows) -> str:
@@ -337,9 +421,16 @@ def main(argv=None):
     p.add_argument("--reference_dir", type=str, default="/root/reference")
     p.add_argument("--out", type=str, default=None,
                    help="write a markdown table here")
+    p.add_argument("--stage", choices=["all", "jax", "torch"], default="all",
+                   help="'jax': train/calibrate/eval ours on the accelerator "
+                        "and save artifacts; 'torch': run the (slow, "
+                        "CPU-only) reference oracle from saved artifacts; "
+                        "'all': both in-process")
+    p.add_argument("--artifact_dir", type=str, default="/tmp/ptq_acc",
+                   help="artifact handoff dir for the staged modes")
     p.add_argument("--jax_cache", type=str, default="/tmp/jax_cache")
     cfg = p.parse_args(argv)
-    if cfg.jax_cache:
+    if cfg.jax_cache and cfg.stage != "torch":
         os.makedirs(cfg.jax_cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cfg.jax_cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -347,13 +438,27 @@ def main(argv=None):
     rows = []
     for name in cfg.nets:
         print(f"== {name} ==", flush=True)
-        r = run_net(name, train_steps=cfg.train_steps,
-                    batch_size=cfg.batch_size, eval_images=cfg.eval_images,
-                    eval_batch=cfg.eval_batch, lr=cfg.lr, seed=cfg.seed,
-                    reference_dir=cfg.reference_dir)
+        if cfg.stage == "jax":
+            art = jax_stage(name, train_steps=cfg.train_steps,
+                            batch_size=cfg.batch_size,
+                            eval_images=cfg.eval_images,
+                            eval_batch=cfg.eval_batch, lr=cfg.lr,
+                            seed=cfg.seed, reference_dir=cfg.reference_dir)
+            path = save_artifacts(art, cfg.artifact_dir)
+            print(f"artifacts -> {path}", flush=True)
+            continue
+        if cfg.stage == "torch":
+            r = torch_stage(load_artifacts(name, cfg.artifact_dir),
+                            reference_dir=cfg.reference_dir)
+        else:
+            r = run_net(name, train_steps=cfg.train_steps,
+                        batch_size=cfg.batch_size,
+                        eval_images=cfg.eval_images,
+                        eval_batch=cfg.eval_batch, lr=cfg.lr, seed=cfg.seed,
+                        reference_dir=cfg.reference_dir)
         print(json.dumps(r), flush=True)
         rows.append(r)
-    if cfg.out:
+    if cfg.out and rows:
         with open(cfg.out, "w") as f:
             f.write(to_markdown(rows))
     return rows

@@ -90,16 +90,18 @@ def test_ptq_flip_rate_parity_mobilenet():
     from cnns_slfp_quantization_tpu.cli import ptq_accuracy
 
     r = ptq_accuracy.run_net(
-        "mobilenet", train_steps=60, batch_size=64, eval_images=512,
+        "mobilenet", train_steps=60, batch_size=64, eval_images=2000,
         eval_batch=64, lr=0.05, seed=0)
     # the model must actually have learned (chance = 1%)
     assert r["acc_fp32_ours"] > 8.0, r
     # frameworks agree at fp32 (same weights, same math)
     assert r["pred_match_fp32"] > 0.98, r
-    # PTQ flips decisions at statistically indistinguishable rates
-    assert abs(r["flip_diff"]) <= max(3 * r["flip_diff_se"], 0.02), r
+    # PTQ flips decisions at statistically indistinguishable rates: 2·se at
+    # the harness sample size, no absolute floor (round-3 review: the old
+    # max(3·se, 0.02) gate passed trivially at 512 images)
+    assert abs(r["flip_diff"]) <= 2 * r["flip_diff_se"], r
     # and the PTQ-induced accuracy delta agrees between frameworks
-    assert abs(r["ptq_drop_ours"] - r["ptq_drop_torch"]) < 5.0, r
+    assert abs(r["ptq_drop_ours"] - r["ptq_drop_torch"]) < 2.0, r
     # quantized decisions mostly coincide (60-step model: many near-ties)
-    assert r["pred_match_slfp8"] > 0.8, r
+    assert r["pred_match_slfp8"] > 0.9, r
     assert r["logit_cos_slfp8_mean"] > 0.98, r

@@ -41,6 +41,8 @@ def ref_modules():
 
     return {
         "mobilenetv1": importlib.import_module("nets_cifar.mobilenetv1"),
+        "mobilenetv1_imgnet": importlib.import_module(
+            "nets_imgnet.mobilenetv1"),
         "shufflenet": importlib.import_module("nets_cifar.shufflenet_v2"),
         "vgg16": importlib.import_module("nets_cifar.vgg16"),
         "resnet50": importlib.import_module("nets_imgnet.resnet50"),
@@ -88,14 +90,19 @@ def _compare(tmodel, jmodel, x_nchw, *, qbit):
         # Quantized deep nets: XLA-vs-torch fp32 accumulation noise (~1e-7)
         # lands on quantization bin cliffs and diffuses (weights quantize
         # bit-identically; a ~0.005%-per-layer rate of one-bin input flips
-        # compounds over depth).  Compare statistically: logit direction and
-        # predictions must agree.
-        cos = float(np.sum(got * want) /
-                    (np.linalg.norm(got) * np.linalg.norm(want) + 1e-30))
-        assert cos > 0.995, f"qbit={qbit}: logits cos={cos:.5f}"
-        np.testing.assert_array_equal(
-            np.argmax(got, -1), np.argmax(want, -1),
-            err_msg=f"qbit={qbit}: top-1 prediction mismatch")
+        # compounds over depth).  Compare statistically over the batch:
+        # per-sample logit direction and (nearly) all predictions agree —
+        # at 32 samples one cliff-induced flip is tolerated, two are not.
+        cos = np.sum(got * want, -1) / (
+            np.linalg.norm(got, axis=-1) * np.linalg.norm(want, axis=-1)
+            + 1e-30)
+        assert float(np.mean(cos)) > 0.995, \
+            f"qbit={qbit}: mean logit cos={float(np.mean(cos)):.5f}"
+        assert float(np.min(cos)) > 0.98, \
+            f"qbit={qbit}: min logit cos={float(np.min(cos)):.5f}"
+        mismatch = int(np.sum(np.argmax(got, -1) != np.argmax(want, -1)))
+        assert mismatch <= max(1, got.shape[0] // 32), \
+            f"qbit={qbit}: {mismatch}/{got.shape[0]} top-1 mismatches"
 
 
 CASES = [
@@ -112,6 +119,10 @@ CASES = [
      "shufflenetv2@0.5", 32, [32, 8]),
     ("shufflenet", lambda m, q: m.ShuffleNetV2(qbit=q, ratio=2),
      "shufflenetv2@2", 32, [32, 8]),
+    # ImageNet MobileNetV1 (C10): unquantized final Linear, AvgPool2d(7) —
+    # needs the full 224px input (nets_imgnet/mobilenetv1.py:58-61)
+    ("mobilenetv1_imgnet", lambda m, q: m.MobileNetV1_Q(ch_in=3, qbit=q),
+     "mobilenetv1", 224, [32, 8]),
     ("vgg16", lambda m, q: m.VGG16_Q(qbit=q), "vgg16", 32, [32, 8]),
     ("vgg16", lambda m, q: m.VGG16_gelu(qbit=q), "vgg16_gelu", 32, [32, 8]),
     ("resnet50", lambda m, q: m.ResNet50(qbit=q), "resnet", 64, [32, 8]),
@@ -138,9 +149,8 @@ def test_logit_parity(ref_modules, case):
         with torch.no_grad():
             _randomize_bn_stats(tmodel)
         rng = np.random.default_rng(7)
-        if size == 64:  # resnet50: small spatial to keep CPU time sane
-            x = rng.normal(0, 1, (2, 3, 64, 64)).astype(np.float32)
-        else:
-            x = rng.normal(0, 1, (2, 3, size, size)).astype(np.float32)
+        # 32 inputs per case (round-2/3 review: 2 random inputs is weak
+        # statistical evidence); batched, so still one forward per framework.
+        x = rng.normal(0, 1, (32, 3, size, size)).astype(np.float32)
         jmodel = models.create_model(our_name, qbit, **kwargs)
         _compare(tmodel, jmodel, x, qbit=qbit)
