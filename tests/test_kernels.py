@@ -121,3 +121,27 @@ def test_fused_dense_custom_vjp_ste():
     np.testing.assert_allclose(np.asarray(grads[0]), want_dx, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(grads[1]), want_dw, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(grads[2]), want_db, rtol=1e-4, atol=1e-4)
+
+
+def test_dual_epilogue_matches_consumer_path():
+    """kernels/epilogue.dual_epilogue (one-pass raw + quantized block
+    boundary) is bit-identical to the production consumer path:
+    raw = bf16(relu(y*s + t + id)), q = quantize_act_pass(raw, recip)."""
+    from cnns_slfp_quantization_tpu.kernels import epilogue, qmm
+
+    rng = np.random.default_rng(3)
+    y = jnp.asarray(rng.normal(0, 2, (4, 3, 5, 256)).astype(np.float32))
+    ident = jnp.asarray(rng.normal(0, 1, (4, 3, 5, 256)).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+    s = jnp.asarray(rng.uniform(0.5, 1.5, (256,)).astype(np.float32))
+    t = jnp.asarray(rng.normal(0, 0.2, (256,)).astype(np.float32))
+    recip = 1.0 / 3.7
+
+    raw_want = jnp.maximum(
+        y * s + t + ident.astype(jnp.float32), 0.0).astype(jnp.bfloat16)
+    q_want = qmm.quantize_act_pass(raw_want, recip)
+    raw, q = epilogue.dual_epilogue(y, ident, s, t, recip, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(raw, np.float32), np.asarray(raw_want, np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(q, np.float32), np.asarray(q_want, np.float32))

@@ -71,3 +71,23 @@ def test_fused_apply_packed_uint8(frozen_resnet, policy):
         lambda v, x: resnet50_fused.fused_apply(
             v, x, scales=scales, policy=policy))(vp, x), np.float32)
     np.testing.assert_array_equal(got, want)
+
+
+def test_fused_apply_blockin_modes_match(frozen_resnet):
+    """The round-4 blockin levers preserve numerics: pallas_dual is
+    bit-identical to the production consumer placement; packed differs only
+    by the pseudo-zero code decoding to 0.0 instead of 1e-10."""
+    vf, x, _ = frozen_resnet
+    scales = calib.load_scales("resnet50_imgnet")
+
+    def run(mode):
+        fn = jax.jit(lambda v, xx: resnet50_fused.fused_apply(
+            v, xx, scales=scales, interpret=True,
+            _diag_blockin_fuse=mode))
+        return np.asarray(fn(vf, x), np.float32)
+
+    base = run("consumer")
+    np.testing.assert_array_equal(run("pallas_dual"), base)
+    packed = run("packed")
+    assert float(np.max(np.abs(packed - base))) < 1e-2
+    np.testing.assert_array_equal(np.argmax(packed, -1), np.argmax(base, -1))
