@@ -58,15 +58,20 @@ def dual_epilogue(y, identity, scale, shift, recip: float, *,
     s2 = jnp.asarray(scale, jnp.float32).reshape(1, c)
     t2 = jnp.asarray(shift, jnp.float32).reshape(1, c)
 
-    # block rows: ~4MB of f32 input per block, divisor of r, multiple of 8
-    br = max(8, min(r, (4 * 1024 * 1024) // (4 * c) // 8 * 8))
-    while r % br:
-        br -= 8
-    grid = (r // br,)
+    # block rows: the kernel holds 4 live buffers/block (f32 in, bf16
+    # identity, 2 bf16 outs = 10 B/elem) and Pallas double-buffers each for
+    # the grid pipeline — budget ~0.5MB of f32 input per block so the total
+    # stays ~2.5MB, well under the 16MB scoped-vmem limit
+    br = max(8, min((r + 7) // 8 * 8, (512 * 1024) // (4 * c) // 8 * 8))
+    rp = -(-r // br) * br  # pad rows to a block multiple
+    if rp != r:
+        y2 = jnp.pad(y2, ((0, rp - r), (0, 0)))
+        id2 = jnp.pad(id2, ((0, rp - r), (0, 0)))
+    grid = (rp // br,)
     raw, q = pl.pallas_call(
         functools.partial(_kernel, recip=float(recip)),
-        out_shape=(jax.ShapeDtypeStruct((r, c), jnp.bfloat16),
-                   jax.ShapeDtypeStruct((r, c), jnp.bfloat16)),
+        out_shape=(jax.ShapeDtypeStruct((rp, c), jnp.bfloat16),
+                   jax.ShapeDtypeStruct((rp, c), jnp.bfloat16)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((br, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -80,4 +85,4 @@ def dual_epilogue(y, identity, scale, shift, recip: float, *,
         ),
         interpret=interpret,
     )(y2, id2, s2, t2)
-    return raw.reshape(orig_shape), q.reshape(orig_shape)
+    return (raw[:r].reshape(orig_shape), q[:r].reshape(orig_shape))
