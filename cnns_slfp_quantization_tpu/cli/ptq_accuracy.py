@@ -71,6 +71,13 @@ NETS = {
 }
 
 
+# per-net fp32 training lr for the synthetic task (batch 64, SGD m=0.9):
+# the no-BN nets (alexnet, squeezenet) diverge at the BN-net default 0.05;
+# VGG/ResNet train much better at 0.01 here
+DEFAULT_LR = {"vgg16": 0.01, "vgg16_gelu": 0.01, "resnet": 0.01,
+              "alexnet": 0.005, "squeezenet": 0.01}
+
+
 def _import_ref_module(reference_dir: str, modname: str):
     for stub in ("torchsummary", "tensorboardX", "torchsummaryX", "tqdm"):
         if stub not in sys.modules:
@@ -273,13 +280,16 @@ def gen_eval_sets(name: str, eval_images: int, eval_batch: int, seed: int):
 
 
 def jax_stage(name: str, *, train_steps: int = 300, batch_size: int = 64,
-              eval_images: int = 2000, eval_batch: int = 64, lr: float = 0.05,
+              eval_images: int = 2000, eval_batch: int = 64,
+              lr: float | None = None,
               seed: int = 0, reference_dir: str = "/root/reference") -> dict:
     """Everything that needs the TPU (or our framework): train, calibrate,
     evaluate ours, export torch weights.  Returns the artifact dict the
     (CPU-only, slow) torch stage consumes — stageable to disk so the torch
     oracle can run in the background without holding the accelerator."""
     dataset, size, classes, _, modname, builder = NETS[name]
+    if lr is None:
+        lr = DEFAULT_LR.get(name, 0.05)
     model, variables = train_our_model(
         name, train_steps=train_steps, batch_size=batch_size, lr=lr,
         seed=seed)
@@ -380,7 +390,8 @@ def torch_stage(art: dict, *, reference_dir: str = "/root/reference") -> dict:
 
 
 def run_net(name: str, *, train_steps: int = 300, batch_size: int = 64,
-            eval_images: int = 2000, eval_batch: int = 64, lr: float = 0.05,
+            eval_images: int = 2000, eval_batch: int = 64,
+            lr: float | None = None,
             seed: int = 0, reference_dir: str = "/root/reference") -> dict:
     art = jax_stage(name, train_steps=train_steps, batch_size=batch_size,
                     eval_images=eval_images, eval_batch=eval_batch, lr=lr,
@@ -416,7 +427,8 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--eval_images", type=int, default=2000)
     p.add_argument("--eval_batch", type=int, default=64)
-    p.add_argument("--lr", type=float, default=0.05)
+    p.add_argument("--lr", type=float, default=None,
+                   help="fp32 train lr (default: per-net DEFAULT_LR / 0.05)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--reference_dir", type=str, default="/root/reference")
     p.add_argument("--out", type=str, default=None,
