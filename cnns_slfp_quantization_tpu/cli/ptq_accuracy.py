@@ -74,7 +74,7 @@ NETS = {
 # per-net fp32 training lr for the synthetic task (batch 64, SGD m=0.9):
 # the no-BN nets (alexnet, squeezenet) diverge at the BN-net default 0.05;
 # VGG/ResNet train much better at 0.01 here
-DEFAULT_LR = {"vgg16": 0.01, "vgg16_gelu": 0.01, "resnet": 0.01,
+DEFAULT_LR = {"vgg16": 0.003, "vgg16_gelu": 0.01, "resnet": 0.01,
               "alexnet": 0.005, "squeezenet": 0.01}
 
 
