@@ -190,7 +190,9 @@ class PlacedBatches:
         ndata = self._mesh.shape["data"]
         it = iter(self._batches)
         if jax.process_count() > 1:
-            it = multihost.shard_data_iterator(it)
+            # total=len(...) lets the sharder truncate the ragged tail so
+            # every host steps the same number of times
+            it = multihost.shard_data_iterator(it, total=len(self._batches))
             for images, labels in it:
                 yield multihost.global_batch(self._mesh, np.asarray(images),
                                              np.asarray(labels))
@@ -206,6 +208,34 @@ class PlacedBatches:
                                     jnp.asarray(labels))
 
 
+class _NullLogger:
+    def scalar(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
+
+
+def _save_gathered(path, tree):
+    """Checkpoint a possibly globally-sharded pytree.
+
+    Single-process (even with a mesh): every shard is addressable,
+    ``device_get`` suffices.  Multi-process: shards live on other hosts, so
+    gather to host-replicated numpy first (process_allgather, tiled=True —
+    globally sharded arrays gather to their global value) and let EVERY
+    process call the orbax save: orbax synchronizes processes internally and
+    only the primary host writes — a process-0-only call deadlocks in its
+    global barrier (measured; tests/test_multiprocess.py guards this).
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        gathered = multihost_utils.process_allgather(tree, tiled=True)
+        checkpoint.save(path, gathered)
+    else:
+        checkpoint.save(path, jax.device_get(tree))
+
+
 def run_main_loop(cfg, model, variables, train_batches, eval_batches,
                   *, max_epochs, log_dir, ckpt_path, steps_per_epoch,
                   milestones=(75, 85, 100), eval_max_images=None,
@@ -219,11 +249,23 @@ def run_main_loop(cfg, model, variables, train_batches, eval_batches,
     GSPMD (SURVEY.md §2.3).  Multi-host runs additionally split the input
     stream per process (parallel/multihost.py).
     """
-    logger = MetricLogger(log_dir)
+    # metrics from process 0 only (every process computes identical
+    # replicated metrics; concurrent writers would interleave the JSONL)
+    logger = (MetricLogger(log_dir) if jax.process_index() == 0
+              else _NullLogger())
+    mesh = build_mesh(cfg)
+    if mesh is not None:
+        train_batches = PlacedBatches(train_batches, mesh)
+        eval_batches = PlacedBatches(eval_batches, mesh)
+        # multi-process runs consume only len//process_count global steps
+        # per epoch (each host contributes every process_count-th local
+        # batch as one shard of a global batch) — the LR schedule, resume
+        # epoch numbering, and the meta sidecar must all use the wrapped
+        # length or they drift by the process count.
+        steps_per_epoch = max(len(train_batches), 1)
     lr_sched = loop.multistep_lr(cfg.lr, milestones, 0.1, steps_per_epoch)
     tx = optimizers.create_optimizer(cfg.optimizer, lr_sched, cfg.Qbits,
                                      weight_decay=cfg.wd)
-    mesh = build_mesh(cfg)
     state = loop.TrainState.create(variables, tx)
     resumed_meta = {}
     if getattr(cfg, "resume", None):
@@ -256,8 +298,6 @@ def run_main_loop(cfg, model, variables, train_batches, eval_batches,
         from cnns_slfp_quantization_tpu.parallel import steps as psteps
 
         state = psteps.shard_state(state, mesh)
-        train_batches = PlacedBatches(train_batches, mesh)
-        eval_batches = PlacedBatches(eval_batches, mesh)
     train_step = jax.jit(loop.make_train_step(model, tx, has_dropout),
                          donate_argnums=0)
     eval_step = jax.jit(loop.make_eval_step(model))
@@ -292,13 +332,14 @@ def run_main_loop(cfg, model, variables, train_batches, eval_batches,
         # always exist on disk under --save_model.
         if cfg.save_model and acc >= acc_max:
             acc_max = acc
-            checkpoint.save(ckpt_path, jax.device_get(state.variables()))
+            _save_gathered(ckpt_path, state.variables())
             print(f"max acc : {acc_max}\nsaving model....")
         if getattr(cfg, "save_state", False):
             state_path = ckpt_path + "_state"
-            checkpoint.save(state_path, jax.device_get(state))
-            with open(_state_meta_path(state_path), "w") as f:
-                json.dump({"steps_per_epoch": steps_per_epoch,
-                           "acc_max": acc_max, "epoch": epoch}, f)
+            _save_gathered(state_path, state)
+            if jax.process_index() == 0:
+                with open(_state_meta_path(state_path), "w") as f:
+                    json.dump({"steps_per_epoch": steps_per_epoch,
+                               "acc_max": acc_max, "epoch": epoch}, f)
     logger.close()
     return state, acc_data

@@ -43,31 +43,43 @@ from cnns_slfp_quantization_tpu.calib import calibrate as calibrate_lib
 from cnns_slfp_quantization_tpu.data import synthetic
 from cnns_slfp_quantization_tpu.train import checkpoint, loop
 
+def _mbv1_imgnet(m, q, nc):
+    t = m.MobileNetV1_Q(ch_in=3, qbit=q)
+    if nc != 1000:
+        # the reference hard-codes nn.Linear(1024, 1000)
+        # (nets_imgnet/mobilenetv1.py:61); the harness controls the oracle
+        # instance, so swap the (unquantized) classifier for the task size
+        import torch.nn as nn
+
+        t.fc = nn.Linear(1024, nc)
+    return t
+
+
 # net -> (dataset, image size, classes, dropout, ref module, ref builder)
 NETS = {
     "mobilenet": ("cifar", 32, 100, False, "nets_cifar.mobilenetv1",
-                  lambda m, q: m.MobileNetV1_Q(ch_in=3, qbit=q)),
+                  lambda m, q, nc: m.MobileNetV1_Q(ch_in=3, qbit=q)),
     # act-optimized variants: layerout SFP<4,4> quant (the path with the
     # reference's dead-subnormal bug, nets_cifar/mobilenetv1.py:176-208,
     # vgg16.py:186-296) + Swish/GELU — statistical coverage beyond the
     # 2-input logit parity test
     "mobilenet_swish": ("cifar", 32, 100, False, "nets_cifar.mobilenetv1",
-                        lambda m, q: m.MobileNetV1_swish(ch_in=3, qbit=q)),
+                        lambda m, q, nc: m.MobileNetV1_swish(ch_in=3, qbit=q)),
     "shufflenetv2": ("cifar", 32, 100, False, "nets_cifar.shufflenet_v2",
-                     lambda m, q: m.ShuffleNetV2(qbit=q)),
+                     lambda m, q, nc: m.ShuffleNetV2(qbit=q)),
     "vgg16": ("cifar", 32, 100, True, "nets_cifar.vgg16",
-              lambda m, q: m.VGG16_Q(qbit=q)),
+              lambda m, q, nc: m.VGG16_Q(qbit=q)),
     "vgg16_gelu": ("cifar", 32, 100, True, "nets_cifar.vgg16",
-                   lambda m, q: m.VGG16_gelu(qbit=q)),
+                   lambda m, q, nc: m.VGG16_gelu(qbit=q)),
     "mobilenetv1": ("imgnet", 224, 1000, False, "nets_imgnet.mobilenetv1",
-                    lambda m, q: m.MobileNetV1_Q(ch_in=3, qbit=q)),
+                    _mbv1_imgnet),
     # 64px keeps the torch-CPU oracle tractable; ResNet50's avgpool adapts
     "resnet": ("imgnet", 64, 1000, False, "nets_imgnet.resnet50",
-               lambda m, q: m.ResNet50(qbit=q)),
+               lambda m, q, nc: m.ResNet50(qbit=q, num_classes=nc)),
     "alexnet": ("imgnet", 224, 1000, True, "nets_imgnet.alexnet",
-                lambda m, q: m.AlexNet(qbit=q)),
+                lambda m, q, nc: m.AlexNet(qbit=q, num_classes=nc)),
     "squeezenet": ("imgnet", 224, 1000, True, "nets_imgnet.squeezenet1_0",
-                   lambda m, q: m.SqueezeNet(qbit=q)),
+                   lambda m, q, nc: m.SqueezeNet(qbit=q, num_classes=nc)),
 }
 
 
@@ -76,6 +88,42 @@ NETS = {
 # VGG/ResNet train much better at 0.01 here
 DEFAULT_LR = {"vgg16": 0.003, "vgg16_gelu": 0.01, "resnet": 0.01,
               "alexnet": 0.005, "squeezenet": 0.01}
+
+# Per-net synthetic-task difficulty, tuned (round 5, TPU probe runs) so
+# fp32 top-1 lands in the INFORMATIVE 60-90% band: at saturation (~100%)
+# almost nothing flips and "flip diff within 2se" is trivially true; in the
+# degenerate regime (<30%) rows compare near-random models.  ``signal`` is
+# the class-signature amplitude vs unit noise (data/synthetic.py);
+# ``proto_res`` raises signature resolution so convnets can't average the
+# noise away; ``classes`` shrinks the 1000-class ImageNet task to one the
+# no-BN nets can actually learn in a few hundred steps.
+TASK = {
+    "mobilenet": {"signal": 0.16, "proto_res": 16},
+    "mobilenet_swish": {"signal": 0.16, "proto_res": 16},
+    "shufflenetv2": {"signal": 0.16, "proto_res": 16},
+    "vgg16": {"signal": 0.16, "proto_res": 16},
+    "vgg16_gelu": {"signal": 0.16, "proto_res": 16},
+    "resnet": {"signal": 0.16, "proto_res": 16},
+    "mobilenetv1": {"classes": 100, "signal": 0.25, "proto_res": 16},
+    "alexnet": {"classes": 100, "signal": 0.5, "proto_res": 16},
+    "squeezenet": {"classes": 100, "signal": 0.5, "proto_res": 16},
+}
+
+
+def task_params(name: str, *, signal=None, classes=None, proto_res=None):
+    """Resolve the per-net synthetic-task configuration (CLI overrides win)."""
+    dataset, size, default_classes, has_dropout, modname, builder = NETS[name]
+    t = TASK.get(name, {})
+    return {
+        "size": size,
+        "classes": int(classes or t.get("classes", default_classes)),
+        "signal": float(signal if signal is not None
+                        else t.get("signal", 0.7)),
+        "proto_res": int(proto_res or t.get("proto_res", 4)),
+        "has_dropout": has_dropout,
+        "modname": modname,
+        "builder": builder,
+    }
 
 
 def _import_ref_module(reference_dir: str, modname: str):
@@ -92,21 +140,24 @@ def _import_ref_module(reference_dir: str, modname: str):
 
 
 def train_our_model(name: str, *, train_steps: int, batch_size: int,
-                    lr: float, seed: int = 0, log_every: int = 50):
+                    lr: float, seed: int = 0, log_every: int = 50,
+                    task=None):
     """Train our fp32 model on synthetic class-conditional data."""
-    dataset, size, classes, has_dropout, _, _ = NETS[name]
-    model = models.create_model(name, 32)
+    task = task or task_params(name)
+    size, classes = task["size"], task["classes"]
+    model = models.create_model(name, 32, num_classes=classes)
     x0 = jnp.zeros((1, size, size, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(seed), x0, train=False)
 
     tx = optax.chain(optax.add_decayed_weights(5e-4),
                      optax.sgd(lr, momentum=0.9))
     state = loop.TrainState.create(variables, tx)
-    step = jax.jit(loop.make_train_step(model, tx, has_dropout),
+    step = jax.jit(loop.make_train_step(model, tx, task["has_dropout"]),
                    donate_argnums=0)
     it = synthetic.SyntheticIterator(
         image_size=size, num_classes=classes, batch_size=batch_size,
-        num_batches=train_steps, seed=seed)
+        num_batches=train_steps, seed=seed, signal=task["signal"],
+        proto_res=task["proto_res"])
     rng = jax.random.PRNGKey(seed + 1)
     for i, (images, labels) in enumerate(it):
         rng, sub = jax.random.split(rng)
@@ -133,10 +184,12 @@ def train_our_model(name: str, *, train_steps: int, batch_size: int,
     return model, graft(variables, trained)
 
 
-def calibrate_trained(name: str, variables, calib_images, batch: int):
+def calibrate_trained(name: str, variables, calib_images, batch: int,
+                      num_classes=None):
     """Reference calibration workflow (cifar100_train_eval.py:213-301) on
     the trained fp32 model: absmax over a calibration set -> ScaleSet."""
-    cap = models.create_model(name, 32, capture="absmax")
+    cap = models.create_model(name, 32, capture="absmax",
+                              num_classes=num_classes)
     batches = [(calib_images[i:i + batch],)
                for i in range(0, len(calib_images), batch)]
     result = calibrate_lib.calibrate(cap, variables, batches,
@@ -203,11 +256,11 @@ def _inject_torch_scales(tmodel, per_module_kakw):
 
 
 def _eval_ours(name: str, variables, images_nhwc, batch: int,
-               scales=None):
+               scales=None, num_classes=None):
     """preds + logits for our model at fp32 and SLFP8 (same weights)."""
     out = {}
     for qbit in (32, 8):
-        model = models.create_model(name, qbit,
+        model = models.create_model(name, qbit, num_classes=num_classes,
                                     scales=scales if qbit == 8 else None)
         fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
         logits = []
@@ -220,7 +273,7 @@ def _eval_ours(name: str, variables, images_nhwc, batch: int,
 
 
 def _eval_torch(name: str, torch_sd, images_nhwc, batch: int,
-                reference_dir: str, calib_images=None):
+                reference_dir: str, calib_images=None, num_classes=None):
     """preds + logits for the reference torch model at fp32 and SLFP8.
 
     When ``calib_images`` is given, the q8 model's hard-coded Ka/Kw are
@@ -228,14 +281,15 @@ def _eval_torch(name: str, torch_sd, images_nhwc, batch: int,
     constants belong to the reference's pretrained checkpoints)."""
     import torch
 
-    _, _, _, _, modname, builder = NETS[name]
+    _, _, default_classes, _, modname, builder = NETS[name]
+    nc = num_classes or default_classes
     divisor = 15.0 if name.startswith("shufflenet") else 15.5
     mod = _import_ref_module(reference_dir, modname)
     x_nchw = np.transpose(images_nhwc, (0, 3, 1, 2)).copy()
     per_module = None
     out = {}
     for qbit in (32, 8):
-        tmodel = builder(mod, qbit)
+        tmodel = builder(mod, qbit, nc)
         tmodel.load_state_dict(
             {k: torch.from_numpy(np.asarray(v)) for k, v in torch_sd.items()})
         if qbit == 32 and calib_images is not None:
@@ -256,15 +310,18 @@ def _eval_torch(name: str, torch_sd, images_nhwc, batch: int,
     return out
 
 
-def gen_eval_sets(name: str, eval_images: int, eval_batch: int, seed: int):
+def gen_eval_sets(name: str, eval_images: int, eval_batch: int, seed: int,
+                  task=None):
     """Deterministic held-out eval + calibration sets (same class
     prototypes as training, fresh noise via seed offsets) — regenerable in
     any process, so the staged artifacts don't need to carry image tensors."""
-    _, size, classes, _, _, _ = NETS[name]
+    task = task or task_params(name)
+    size, classes = task["size"], task["classes"]
+    kw = dict(signal=task["signal"], proto_res=task["proto_res"])
     n_batches = math.ceil(eval_images / eval_batch)
     it = synthetic.SyntheticIterator(
         image_size=size, num_classes=classes, batch_size=eval_batch,
-        num_batches=n_batches, seed=seed + 10_000)
+        num_batches=n_batches, seed=seed + 10_000, **kw)
     images, labels = [], []
     for x, y in it:
         images.append(x); labels.append(y)
@@ -274,42 +331,48 @@ def gen_eval_sets(name: str, eval_images: int, eval_batch: int, seed: int):
     n_cal = min(512, eval_images)
     cal_it = synthetic.SyntheticIterator(
         image_size=size, num_classes=classes, batch_size=eval_batch,
-        num_batches=-(-n_cal // eval_batch), seed=seed + 20_000)
+        num_batches=-(-n_cal // eval_batch), seed=seed + 20_000, **kw)
     calib_images = np.concatenate([x for x, _ in cal_it])[:n_cal]
     return images, labels, calib_images
 
 
 def jax_stage(name: str, *, train_steps: int = 300, batch_size: int = 64,
               eval_images: int = 2000, eval_batch: int = 64,
-              lr: float | None = None,
+              lr: float | None = None, signal: float | None = None,
+              classes: int | None = None, proto_res: int | None = None,
               seed: int = 0, reference_dir: str = "/root/reference") -> dict:
     """Everything that needs the TPU (or our framework): train, calibrate,
     evaluate ours, export torch weights.  Returns the artifact dict the
     (CPU-only, slow) torch stage consumes — stageable to disk so the torch
     oracle can run in the background without holding the accelerator."""
-    dataset, size, classes, _, modname, builder = NETS[name]
+    task = task_params(name, signal=signal, classes=classes,
+                       proto_res=proto_res)
     if lr is None:
         lr = DEFAULT_LR.get(name, 0.05)
     model, variables = train_our_model(
         name, train_steps=train_steps, batch_size=batch_size, lr=lr,
-        seed=seed)
+        seed=seed, task=task)
 
     images, labels, calib_images = gen_eval_sets(name, eval_images,
-                                                 eval_batch, seed)
+                                                 eval_batch, seed, task=task)
     # reference workflow: calibrate the trained fp32 model, give BOTH
     # frameworks' quantized models constants derived from the same
     # calibration set (shipped constants belong to the reference's
     # pretrained checkpoints, not these weights)
-    qscales = calibrate_trained(name, variables, calib_images, eval_batch)
+    qscales = calibrate_trained(name, variables, calib_images, eval_batch,
+                                num_classes=task["classes"])
 
-    ours = _eval_ours(name, variables, images, eval_batch, scales=qscales)
+    ours = _eval_ours(name, variables, images, eval_batch, scales=qscales,
+                      num_classes=task["classes"])
 
-    ref_mod = _import_ref_module(reference_dir, modname)
-    template = builder(ref_mod, 32).state_dict()
+    ref_mod = _import_ref_module(reference_dir, task["modname"])
+    template = task["builder"](ref_mod, 32, task["classes"]).state_dict()
     torch_sd = checkpoint.export_torch_state_dict(variables, template)
     return {
         "name": name, "train_steps": train_steps, "eval_batch": eval_batch,
         "eval_images": eval_images, "seed": seed,
+        "signal": task["signal"], "classes": task["classes"],
+        "proto_res": task["proto_res"],
         "images": images, "labels": labels, "calib_images": calib_images,
         "pj32": ours[32][0], "pj8": ours[8][0], "lj8": ours[8][1],
         "torch_sd": {k: np.asarray(v) for k, v in torch_sd.items()},
@@ -327,7 +390,8 @@ def save_artifacts(art: dict, artifact_dir: str) -> str:
         flat[f"sd::{k}"] = v
     flat["meta"] = np.asarray(
         [art["train_steps"], art["eval_batch"], art["eval_images"],
-         art["seed"]], np.int64)
+         art["seed"], art["classes"], art["proto_res"]], np.int64)
+    flat["meta_f"] = np.asarray([art["signal"]], np.float64)
     np.savez_compressed(path, **flat)
     return path
 
@@ -339,12 +403,17 @@ def load_artifacts(name: str, artifact_dir: str) -> dict:
                "eval_batch": int(z["meta"][1]),
                "eval_images": int(z["meta"][2]),
                "seed": int(z["meta"][3]),
+               "classes": int(z["meta"][4]) if len(z["meta"]) > 4 else None,
+               "proto_res": int(z["meta"][5]) if len(z["meta"]) > 5 else 4,
+               "signal": float(z["meta_f"][0]) if "meta_f" in z.files else 0.7,
                "torch_sd": {k[4:]: z[k] for k in z.files
                             if k.startswith("sd::")}}
         for k in ("labels", "pj32", "pj8", "lj8"):
             art[k] = z[k]
+    task = task_params(name, signal=art["signal"], classes=art["classes"],
+                       proto_res=art["proto_res"])
     images, labels, calib_images = gen_eval_sets(
-        name, art["eval_images"], art["eval_batch"], art["seed"])
+        name, art["eval_images"], art["eval_batch"], art["seed"], task=task)
     assert np.array_equal(labels, art["labels"]), (
         "regenerated eval set does not match the jax stage (seed drift?)")
     art["images"], art["calib_images"] = images, calib_images
@@ -358,7 +427,8 @@ def torch_stage(art: dict, *, reference_dir: str = "/root/reference") -> dict:
     labels = art["labels"]
     theirs = _eval_torch(name, art["torch_sd"], art["images"],
                          art["eval_batch"], reference_dir,
-                         calib_images=art["calib_images"])
+                         calib_images=art["calib_images"],
+                         num_classes=art.get("classes"))
     n = len(labels)
 
     def acc(preds):
@@ -375,6 +445,7 @@ def torch_stage(art: dict, *, reference_dir: str = "/root/reference") -> dict:
         np.linalg.norm(lj, axis=-1) * np.linalg.norm(lt, axis=-1) + 1e-30)
     return {
         "net": name, "n": n, "train_steps": art["train_steps"],
+        "classes": art.get("classes"), "signal": art.get("signal"),
         "acc_fp32_ours": acc(pj32), "acc_slfp8_ours": acc(pj8),
         "acc_fp32_torch": acc(pt32), "acc_slfp8_torch": acc(pt8),
         "ptq_drop_ours": acc(pj32) - acc(pj8),
@@ -391,10 +462,12 @@ def torch_stage(art: dict, *, reference_dir: str = "/root/reference") -> dict:
 
 def run_net(name: str, *, train_steps: int = 300, batch_size: int = 64,
             eval_images: int = 2000, eval_batch: int = 64,
-            lr: float | None = None,
+            lr: float | None = None, signal: float | None = None,
+            classes: int | None = None, proto_res: int | None = None,
             seed: int = 0, reference_dir: str = "/root/reference") -> dict:
     art = jax_stage(name, train_steps=train_steps, batch_size=batch_size,
                     eval_images=eval_images, eval_batch=eval_batch, lr=lr,
+                    signal=signal, classes=classes, proto_res=proto_res,
                     seed=seed, reference_dir=reference_dir)
     return torch_stage(art, reference_dir=reference_dir)
 
@@ -429,6 +502,13 @@ def main(argv=None):
     p.add_argument("--eval_batch", type=int, default=64)
     p.add_argument("--lr", type=float, default=None,
                    help="fp32 train lr (default: per-net DEFAULT_LR / 0.05)")
+    p.add_argument("--signal", type=float, default=None,
+                   help="synthetic-task signal amplitude (default: per-net "
+                        "TASK — tuned for 60-90%% fp32 top-1)")
+    p.add_argument("--classes", type=int, default=None,
+                   help="synthetic-task class count (default: per-net TASK)")
+    p.add_argument("--proto_res", type=int, default=None,
+                   help="class-signature resolution (default: per-net TASK)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--reference_dir", type=str, default="/root/reference")
     p.add_argument("--out", type=str, default=None,
@@ -455,6 +535,8 @@ def main(argv=None):
                             batch_size=cfg.batch_size,
                             eval_images=cfg.eval_images,
                             eval_batch=cfg.eval_batch, lr=cfg.lr,
+                            signal=cfg.signal, classes=cfg.classes,
+                            proto_res=cfg.proto_res,
                             seed=cfg.seed, reference_dir=cfg.reference_dir)
             path = save_artifacts(art, cfg.artifact_dir)
             print(f"artifacts -> {path}", flush=True)
@@ -466,7 +548,9 @@ def main(argv=None):
             r = run_net(name, train_steps=cfg.train_steps,
                         batch_size=cfg.batch_size,
                         eval_images=cfg.eval_images,
-                        eval_batch=cfg.eval_batch, lr=cfg.lr, seed=cfg.seed,
+                        eval_batch=cfg.eval_batch, lr=cfg.lr,
+                        signal=cfg.signal, classes=cfg.classes,
+                        proto_res=cfg.proto_res, seed=cfg.seed,
                         reference_dir=cfg.reference_dir)
         print(json.dumps(r), flush=True)
         rows.append(r)

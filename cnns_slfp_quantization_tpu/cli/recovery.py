@@ -32,28 +32,50 @@ import numpy as np
 
 from cnns_slfp_quantization_tpu import models
 from cnns_slfp_quantization_tpu.cli.ptq_accuracy import (
-    calibrate_trained, gen_eval_sets)
+    DEFAULT_LR, NETS, calibrate_trained, gen_eval_sets, task_params)
 from cnns_slfp_quantization_tpu.data import subset as subset_lib
 from cnns_slfp_quantization_tpu.data import synthetic
 from cnns_slfp_quantization_tpu.train import loop, optimizers
 
 
-def _train_arrays(n_images, batch, image_size=32, classes=100, seed=0):
+def _task(net: str) -> dict:
+    """Synthetic-task config: harness nets use their tuned TASK entry; the
+    act-variant ResNets (our extension — no torch oracle exists, so they
+    never enter ptq_accuracy.NETS) reuse the resnet task (64px, same
+    difficulty)."""
+    if net in NETS:
+        return task_params(net)
+    if net in ("resnet_stl", "resnet_swish"):
+        t = dict(task_params("resnet"))
+        t["has_dropout"] = False
+        return t
+    raise ValueError(
+        f"unknown net {net!r}: recovery supports {sorted(NETS)} plus "
+        f"resnet_stl / resnet_swish")
+
+
+def _train_arrays(n_images, batch, task, seed=0):
     it = synthetic.SyntheticIterator(
-        image_size=image_size, num_classes=classes, batch_size=batch,
-        num_batches=math.ceil(n_images / batch), seed=seed)
+        image_size=task["size"], num_classes=task["classes"],
+        batch_size=batch, num_batches=math.ceil(n_images / batch), seed=seed,
+        signal=task["signal"], proto_res=task["proto_res"])
     xs, ys = zip(*list(it))
     return (np.concatenate(xs)[:n_images], np.concatenate(ys)[:n_images])
 
 
 def _epochs(model, variables, tx, images, labels, batch, epochs, seed,
             has_batch_stats=True):
+    if len(images) < batch:
+        raise ValueError(
+            f"need at least one full batch: {len(images)} images < "
+            f"batch {batch} (raise --train_images or lower --batch)")
     state = loop.TrainState.create(variables, tx)
     step = jax.jit(loop.make_train_step(model, tx), donate_argnums=0)
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
     for e in range(epochs):
         order = rng.permutation(len(images))
+        metrics = None
         for i in range(0, len(images) - batch + 1, batch):
             idx = order[i:i + batch]
             key, sub = jax.random.split(key)
@@ -76,19 +98,22 @@ def _evaluate(model, variables, images, labels, batch):
 def run(net="mobilenet", qbit=8, fp32_epochs=4, train_images=12800,
         batch=128, subset_fraction=0.06, qat_epochs=10, qat_lr=1e-4,
         eval_images=2000, seed=0):
-    tr_x, tr_y = _train_arrays(train_images, batch, seed=seed)
-    ev_x, ev_y, cal_x = gen_eval_sets(net, eval_images, 64, seed)
+    task = _task(net)
+    tr_x, tr_y = _train_arrays(train_images, batch, task, seed=seed)
+    ev_x, ev_y, cal_x = gen_eval_sets(net, eval_images, 64, seed, task=task)
 
     # 1. fp32 baseline training
     import optax
 
-    model32 = models.create_model(net, 32)
-    variables = model32.init(jax.random.PRNGKey(seed),
-                             jnp.zeros((1, 32, 32, 3)), train=False)
+    model32 = models.create_model(net, 32, num_classes=task["classes"])
+    variables = model32.init(
+        jax.random.PRNGKey(seed),
+        jnp.zeros((1, task["size"], task["size"], 3)), train=False)
+    lr32 = DEFAULT_LR.get(net, DEFAULT_LR.get(net.split("_")[0], 0.05))
     tx32 = optax.chain(optax.add_decayed_weights(5e-4),
-                       optax.sgd(0.05, momentum=0.9))
+                       optax.sgd(lr32, momentum=0.9))
     print(f"[{net}] fp32 training ({fp32_epochs} epochs x "
-          f"{train_images} images)", flush=True)
+          f"{train_images} images, lr={lr32})", flush=True)
     st32 = _epochs(model32, variables, tx32, tr_x, tr_y, batch, fp32_epochs,
                    seed)
     v32_raw = jax.device_get(st32.variables())
@@ -102,8 +127,9 @@ def run(net="mobilenet", qbit=8, fp32_epochs=4, train_images=12800,
     acc_fp32 = _evaluate(model32, v32, ev_x, ev_y, 64)
 
     # 2. calibrate + PTQ eval
-    qs = calibrate_trained(net, v32, cal_x, 64)
-    modelq = models.create_model(net, qbit, scales=qs)
+    qs = calibrate_trained(net, v32, cal_x, 64, num_classes=task["classes"])
+    modelq = models.create_model(net, qbit, scales=qs,
+                                 num_classes=task["classes"])
     acc_ptq = _evaluate(modelq, v32, ev_x, ev_y, 64)
 
     # 3. DSGD fine-tune on the stratified 6% subset (reference lr default

@@ -30,6 +30,7 @@ from cnns_slfp_quantization_tpu.models.mobilenetv1 import _DW_CONFIG
 from cnns_slfp_quantization_tpu.models.resnet50_fused import (
     _bn_fold,
     _space_to_depth_stem,
+    _wv,
     _xla_conv,
 )
 
@@ -57,7 +58,7 @@ def fused_apply(variables, x, *, scales, quant_classifier: bool = True,
 
     # --- stem: 3x3/s2/p1, signed input quantize --------------------------
     xq = qmm.quantize_act_pass(x, recip(0), nonneg=False)
-    w0 = params["conv0"]["kernel"]
+    w0 = _wv(params["conv0"]["kernel"])
     if s2d_stem:
         y = _space_to_depth_stem(xq, w0, pad=1)
     else:
@@ -68,10 +69,10 @@ def fused_apply(variables, x, *, scales, quant_classifier: bool = True,
     last = len(_DW_CONFIG) - 1
     for b, (inp, _, stride) in enumerate(_DW_CONFIG):
         i_dw, i_pw = 1 + 2 * b, 2 + 2 * b
-        y = _xla_conv(y, params[f"conv{i_dw}"]["kernel"], stride=stride,
+        y = _xla_conv(y, _wv(params[f"conv{i_dw}"]["kernel"]), stride=stride,
                       pad=1, groups=inp)
         y = post(y, i_dw, quant_next=i_pw)
-        y = _xla_conv(y, params[f"conv{i_pw}"]["kernel"])
+        y = _xla_conv(y, _wv(params[f"conv{i_pw}"]["kernel"]))
         # the classifier's quantize happens *after* pooling (reference
         # pools raw activations, nets_cifar/mobilenetv1.py:84-85), so the
         # last block emits raw bf16.
@@ -79,9 +80,9 @@ def fused_apply(variables, x, *, scales, quant_classifier: bool = True,
 
     # --- head: global avgpool (+ quantized FC, linear_Q semantics) --------
     xa = jnp.mean(y.astype(jnp.float32), axis=(1, 2))
-    wfc = params["fc"]["kernel"]
+    wfc = _wv(params["fc"]["kernel"])
     if not quant_classifier:  # ImageNet variant: plain fp32 Linear
-        return xa @ wfc + params["fc"]["bias"]
+        return xa @ wfc.astype(xa.dtype) + params["fc"]["bias"]
     xq = qmm.quantize_act_pass(xa, recip(27))
     y = jnp.dot(xq, wfc.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32)

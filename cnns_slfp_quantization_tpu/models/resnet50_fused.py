@@ -48,7 +48,10 @@ from cnns_slfp_quantization_tpu.models.resnet50 import _STAGES
 # quantize structure, not from hand-written matmuls; XLA's conv pipelining
 # beats the whole-K weight-stationary Pallas tiling at these shapes.  The
 # Pallas policy values remain for the uint8-packed serving experiments.
-DEFAULT_POLICY = {"conv1": "xla", "conv3": "xla"}
+# "chain": set of stage indices (0-3) whose stride-1 mid-stage bottlenecks
+# run as ONE VMEM-resident Pallas kernel (kernels/chain.py — intermediates
+# never touch HBM); only stages 2/3 (14x14/7x7) fit the VMEM budget.
+DEFAULT_POLICY = {"conv1": "xla", "conv3": "xla", "chain": frozenset()}
 
 
 def as_model(scales, **kwargs):
@@ -249,6 +252,48 @@ def fused_apply(variables, x, *, scales,
                     c1_in, c1_recip = xr_q, None
                 else:
                     c1_in, c1_recip = xr_raw, recip(sid + 1)
+
+            last_of_stage_ = b == blocks - 1
+            if last_of_stage_:
+                qn_ = (_STAGES[s_idx + 1][3] + 1
+                       if s_idx + 1 < len(_STAGES) else None)
+            else:
+                qn_ = sid + 4
+            if not has_ds and s_idx in pol.get("chain", ()):
+                # whole bottleneck as one VMEM-resident kernel: conv1/conv2
+                # intermediates never touch HBM (kernels/chain.py)
+                from cnns_slfp_quantization_tpu.kernels import chain
+
+                xq_in = (c1_in if c1_recip is None
+                         else qmm.quantize_act_pass(xr_raw, c1_recip))
+                w1 = _wv(params[f"{pre}_conv1"]["kernel"])
+                w2 = _wv(params[f"{pre}_conv2"]["kernel"])
+                w3 = _wv(params[f"{pre}_conv3"]["kernel"])
+                mid = w1.shape[-1]
+                cch = w3.shape[-1]
+                a1, t1 = _bn_fold(params[f"{pre}_bn1"], stats[f"{pre}_bn1"],
+                                  kaw(sid + 1))
+                a2, t2 = _bn_fold(params[f"{pre}_bn2"], stats[f"{pre}_bn2"],
+                                  kaw(sid + 2))
+                a3, t3 = _bn_fold(params[f"{pre}_bn3"], stats[f"{pre}_bn3"],
+                                  kaw(sid + 3))
+                raw, qout = chain.bottleneck_chain(
+                    xq_in.astype(jnp.bfloat16),
+                    identity.astype(jnp.bfloat16),
+                    w1.reshape(w1.shape[-2], mid).astype(jnp.bfloat16),
+                    w2.astype(jnp.bfloat16),
+                    w3.reshape(mid, cch).astype(jnp.bfloat16),
+                    a1, t1, a2, t2, a3, t3,
+                    recip2=recip(sid + 2), recip3=recip(sid + 3),
+                    recip_next=recip(qn_) if qn_ is not None else 1.0,
+                    emit_raw=not (last_of_stage_ and qn_ is not None),
+                    interpret=bool(interpret))
+                if last_of_stage_:
+                    xr_raw = qout if qn_ is not None else raw
+                    xr_q = xr_raw if qn_ is not None else None
+                else:
+                    xr_raw, xr_q = raw, (qout if q_on("blockin") else None)
+                continue
 
             # conv1 (1x1): quantize->mm->BN+ReLU->quantize-for-conv2
             if pol["conv1"] == "pallas":

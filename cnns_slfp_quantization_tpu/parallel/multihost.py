@@ -53,11 +53,25 @@ def global_batch(mesh: Mesh, local_images: np.ndarray,
 
 
 def shard_data_iterator(it, process_index: Optional[int] = None,
-                        process_count: Optional[int] = None):
+                        process_count: Optional[int] = None,
+                        total: Optional[int] = None):
     """Round-robin split of a host iterator across processes (per-host input
-    pipeline: each host reads only its 1/num_processes of the batches)."""
+    pipeline: each host reads only its 1/num_processes of the batches).
+
+    The stream is truncated to ``(total // process_count) * process_count``
+    batches so every host yields the SAME number of batches: a ragged tail
+    would make hosts invoke the SPMD train step a different number of times
+    and desync/hang the run.  ``total`` defaults to ``len(it)`` when the
+    iterable is sized; unsized iterators with a ragged tail are the
+    caller's responsibility.
+    """
     pi = jax.process_index() if process_index is None else process_index
     pc = jax.process_count() if process_count is None else process_count
+    if total is None and hasattr(it, "__len__"):
+        total = len(it)
+    stop = (total // pc) * pc if total is not None else None
     for i, batch in enumerate(it):
+        if stop is not None and i >= stop:
+            return
         if i % pc == pi:
             yield batch

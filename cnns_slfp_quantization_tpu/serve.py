@@ -53,10 +53,13 @@ class InferenceEngine:
         self.scales = scales
         # fused=None (auto): the BN-folded fused executor for SLFP8
         # ResNet-50 (+8% measured, bench.py's configuration) and the ReLU
-        # MobileNetV1 variants (+7.3%) with float frozen weights — but never
-        # overriding an explicit request for the Pallas module path or
-        # full-fp32 numerics.  Explicit True/False overrides the auto choice
-        # (True validates its preconditions).
+        # MobileNetV1 variants (+7.3%) — but never overriding an explicit
+        # request for the Pallas module path or full-fp32 numerics.
+        # Explicit True/False overrides the auto choice (True validates its
+        # preconditions).  ``pack_weights=True`` composes with the fused
+        # executors (their ``_wv`` decodes uint8 SLFP codes in-graph): the
+        # 4x-capacity serving format runs on the fastest executor
+        # (docs/DESIGN.md packed-fused table for the throughput trade).
         _fusable = {
             "resnet": "r", "resnet50": "r", "imgnet/resnet": "r",
             "mobilenet": "mc", "cifar/mobilenet": "mc",
@@ -65,16 +68,14 @@ class InferenceEngine:
         self._fuse_kind = _fusable.get(net)
         if fused is None:
             fused = (self._fuse_kind is not None and qbit == 8
-                     and not pack_weights
                      and use_pallas is not True
                      and compute_dtype == jnp.bfloat16)
         elif fused:
-            if not (self._fuse_kind is not None and qbit == 8
-                    and not pack_weights):
+            if not (self._fuse_kind is not None and qbit == 8):
                 raise ValueError(
                     "fused=True requires net in {resnet, mobilenet, "
-                    "mobilenetv1}, qbit=8 and pack_weights=False (the fused "
-                    "executors consume float SLFP<3,4> frozen weights)")
+                    "mobilenetv1} and qbit=8 (the fused executors consume "
+                    "SLFP<3,4> frozen weights — float or packed uint8)")
         self.fused = fused
         self.batch_size = batch_size
         self.image_size = image_size or (

@@ -91,3 +91,22 @@ def test_fused_apply_blockin_modes_match(frozen_resnet):
     packed = run("packed")
     assert float(np.max(np.abs(packed - base))) < 1e-2
     np.testing.assert_array_equal(np.argmax(packed, -1), np.argmax(base, -1))
+
+
+def test_fused_apply_chain_matches(frozen_resnet):
+    """The VMEM-resident bottleneck chain kernel (kernels/chain.py,
+    policy={"chain": {2, 3}}) reproduces the production executor: same
+    bit-domain SLFP quantizes, f32 affines and residual — drift is limited
+    to <=1 ulp scale-path differences (y*recip in-kernel vs the fused
+    integer-domain scale+quantize), which can flip isolated quantize bins."""
+    vf, x, want = frozen_resnet
+    scales = calib.load_scales("resnet50_imgnet")
+    got = np.asarray(jax.jit(
+        lambda v, x: resnet50_fused.fused_apply(
+            v, x, scales=scales, policy={"chain": frozenset({2, 3})},
+            interpret=jax.default_backend() == "cpu"))(vf, x), np.float32)
+    assert got.shape == want.shape
+    cos = float(np.sum(got * want) /
+                (np.linalg.norm(got) * np.linalg.norm(want) + 1e-30))
+    assert cos > 0.995, f"chain: cos={cos}"
+    np.testing.assert_array_equal(np.argmax(got, -1), np.argmax(want, -1))

@@ -45,15 +45,42 @@ def test_engine_fused_validation_and_overrides():
 
     # explicit fused=True with invalid preconditions raises
     with pytest.raises(ValueError):
-        InferenceEngine("resnet", qbit=8, pack_weights=True, fused=True,
-                        image_size=64)
-    with pytest.raises(ValueError):
         InferenceEngine("vgg16", qbit=8, fused=True)
     # explicit Pallas / fp32 requests are not silently overridden by auto
     eng = InferenceEngine("resnet", qbit=8, image_size=64, use_pallas=True)
     assert not eng.fused
     eng = InferenceEngine("resnet", qbit=8, image_size=64, compute_dtype=None)
     assert not eng.fused
+
+
+def test_engine_packed_fused():
+    """Packed (uint8 SLFP codes, 4x less weight HBM) serving on the fused
+    executors: the executors' ``_wv`` decodes codes in-graph
+    (models/resnet50_fused.py:68-76), so the capacity format runs on the
+    fastest path.  Predictions must match the float-frozen fused engine
+    (same codebook values — decode(pack(Q(w))) == Q(w) modulo the pseudo-zero
+    and bf16 double-rounding, which perturb logits below decision level on
+    these inputs)."""
+    import numpy as np
+
+    eng_p = InferenceEngine("resnet", qbit=8, batch_size=2, image_size=64,
+                            pack_weights=True, fused=True)
+    assert eng_p.fused
+    # the packed format actually reached the variables: uint8 kernels
+    kinds = {a.dtype.name for a in
+             __import__("jax").tree.leaves(eng_p.variables["params"])}
+    assert "uint8" in kinds
+    x = np.random.default_rng(7).normal(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    logits = eng_p.predict(x)
+    assert logits.shape == (2, 1000) and np.isfinite(logits).all()
+    eng_f = InferenceEngine("resnet", qbit=8, batch_size=2, image_size=64)
+    np.testing.assert_array_equal(eng_p.classify(x), eng_f.classify(x))
+    # auto-selection also picks the fused executor for packed mobilenet
+    eng_m = InferenceEngine("mobilenet", qbit=8, batch_size=2,
+                            pack_weights=True)
+    assert eng_m.fused
+    xm = np.random.default_rng(8).normal(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    assert np.isfinite(eng_m.predict(xm)).all()
 
 
 def test_engine_custom_scales(tmp_path):
