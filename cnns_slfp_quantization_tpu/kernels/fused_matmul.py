@@ -1,16 +1,20 @@
 """Fused Pallas kernel: SLFP act-quantize -> uint8 weight decode -> MXU
 matmul -> scaled epilogue.
 
-The north-star "fused dequant+conv" path (BASELINE.json): weights live in
-HBM as real uint8 SLFP<3,4> codes (4x less weight traffic than fp32 — the
-reference only ever fakes quantization in fp32), activations are quantized
-on the fly in VMEM, the matmul runs in bf16 on the MXU with f32
-accumulation, and the ``*Ka*Kw`` rescale / bias / activation run in the
-epilogue before the tile is written back.
+MEASURED ROLE (docs/DESIGN.md rounds 2-3): this kernel's production niche
+is the **uint8-packed serving substrate** — weights live in HBM as real
+SLFP<3,4> codes (4x less weight HBM/disk than bf16; the reference only
+fakes quantization in fp32) and decode in VMEM.  For float/bf16 weights the
+all-XLA fused executor is FASTER at every measured batch size (XLA's conv
+pipelining beats this kernel's whole-K weight-stationary tiling inside the
+full network — A/B tables in docs/DESIGN.md), so `use_pallas` defaults
+route 1x1/dense layers here only for packed weights.
 
-Covers dense layers and 1x1 convolutions (which dominate ResNet-50 /
-MobileNet / ShuffleNet FLOPs); spatial convs keep the XLA path, which is
-already MXU-tiled.
+Mechanics: activations quantize on the fly in VMEM, the matmul runs in
+bf16 on the MXU with f32 accumulation, and the ``*Ka*Kw`` rescale / bias /
+activation run in the epilogue before the tile is written back.  Covers
+dense layers and 1x1 convolutions; spatial convs keep the XLA path, which
+is already MXU-tiled.
 """
 
 from __future__ import annotations
