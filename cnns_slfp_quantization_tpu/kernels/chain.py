@@ -140,6 +140,11 @@ def bottleneck_chain(xq, identity, w1, w2, w3, a1, b1, a2, b2, a3, b3, *,
             pl.BlockSpec((bi, H, W, C), tile, memory_space=pltpu.VMEM),
             pl.BlockSpec((bi, H, W, C), tile, memory_space=pltpu.VMEM),
         ],
+        # v5e has 128MB VMEM; the default scoped budget (~16MB) OOMs on the
+        # kernel's live set (padded y1 + 9 tap temporaries + f32 y3 + the
+        # double-buffered in/out blocks) at 14x14x1024 — raise it.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(xq, identity, w1, w2, w3, a1r, b1r, a2r, b2r, a3r, b3r)
     return raw, q
