@@ -97,20 +97,29 @@ DEFAULT_LR = {"vgg16": 0.003, "vgg16_gelu": 0.01, "resnet": 0.01,
 # ``proto_res`` raises signature resolution so convnets can't average the
 # noise away; ``classes`` shrinks the 1000-class ImageNet task to one the
 # no-BN nets can actually learn in a few hundred steps.
+# Probe evidence (tools/tune_task_signal.py, 300 steps): proto_res=16
+# never trains (any signal — the fine-grained task removes the
+# low-frequency redundancy these CNNs learn from); at proto_res=4 training
+# has an optimization cliff (signal <= 0.15 stays at chance) and
+# signal=0.25 lands mobilenet at 77.7% — the band's sweet spot.
+# Probed fp32 top-1 at 300 steps: mobilenet 77.7 @0.25, mobilenet_swish
+# 90.2 @0.2, shufflenetv2 85.5 @0.25, vgg16 88.1 @0.35 (2.4 @0.25 — its
+# cliff sits higher), vgg16_gelu 64.2 @0.2, resnet 70.5 @0.25 (1000-class).
 TASK = {
-    "mobilenet": {"signal": 0.16, "proto_res": 16},
-    "mobilenet_swish": {"signal": 0.16, "proto_res": 16},
-    "shufflenetv2": {"signal": 0.16, "proto_res": 16},
-    "vgg16": {"signal": 0.16, "proto_res": 16},
-    "vgg16_gelu": {"signal": 0.16, "proto_res": 16},
-    "resnet": {"signal": 0.16, "proto_res": 16},
-    "mobilenetv1": {"classes": 100, "signal": 0.25, "proto_res": 16},
-    "alexnet": {"classes": 100, "signal": 0.5, "proto_res": 16},
-    "squeezenet": {"classes": 100, "signal": 0.5, "proto_res": 16},
+    "mobilenet": {"signal": 0.25},
+    "mobilenet_swish": {"signal": 0.2},
+    "shufflenetv2": {"signal": 0.25},
+    "vgg16": {"signal": 0.35},
+    "vgg16_gelu": {"signal": 0.2},
+    "resnet": {"signal": 0.25},
+    "mobilenetv1": {"classes": 100, "signal": 0.3},
+    "alexnet": {"classes": 100, "signal": 0.5},
+    "squeezenet": {"classes": 100, "signal": 0.5},
 }
 
 
-def task_params(name: str, *, signal=None, classes=None, proto_res=None):
+def task_params(name: str, *, signal=None, classes=None, proto_res=None,
+                signal_jitter=None):
     """Resolve the per-net synthetic-task configuration (CLI overrides win)."""
     dataset, size, default_classes, has_dropout, modname, builder = NETS[name]
     t = TASK.get(name, {})
@@ -120,6 +129,8 @@ def task_params(name: str, *, signal=None, classes=None, proto_res=None):
         "signal": float(signal if signal is not None
                         else t.get("signal", 0.7)),
         "proto_res": int(proto_res or t.get("proto_res", 4)),
+        "signal_jitter": bool(t.get("signal_jitter", False)
+                              if signal_jitter is None else signal_jitter),
         "has_dropout": has_dropout,
         "modname": modname,
         "builder": builder,
@@ -157,7 +168,7 @@ def train_our_model(name: str, *, train_steps: int, batch_size: int,
     it = synthetic.SyntheticIterator(
         image_size=size, num_classes=classes, batch_size=batch_size,
         num_batches=train_steps, seed=seed, signal=task["signal"],
-        proto_res=task["proto_res"])
+        proto_res=task["proto_res"], signal_jitter=task["signal_jitter"])
     rng = jax.random.PRNGKey(seed + 1)
     for i, (images, labels) in enumerate(it):
         rng, sub = jax.random.split(rng)
@@ -317,7 +328,8 @@ def gen_eval_sets(name: str, eval_images: int, eval_batch: int, seed: int,
     any process, so the staged artifacts don't need to carry image tensors."""
     task = task or task_params(name)
     size, classes = task["size"], task["classes"]
-    kw = dict(signal=task["signal"], proto_res=task["proto_res"])
+    kw = dict(signal=task["signal"], proto_res=task["proto_res"],
+              signal_jitter=task["signal_jitter"])
     n_batches = math.ceil(eval_images / eval_batch)
     it = synthetic.SyntheticIterator(
         image_size=size, num_classes=classes, batch_size=eval_batch,
@@ -373,6 +385,7 @@ def jax_stage(name: str, *, train_steps: int = 300, batch_size: int = 64,
         "eval_images": eval_images, "seed": seed,
         "signal": task["signal"], "classes": task["classes"],
         "proto_res": task["proto_res"],
+        "signal_jitter": task["signal_jitter"],
         "images": images, "labels": labels, "calib_images": calib_images,
         "pj32": ours[32][0], "pj8": ours[8][0], "lj8": ours[8][1],
         "torch_sd": {k: np.asarray(v) for k, v in torch_sd.items()},
@@ -390,7 +403,8 @@ def save_artifacts(art: dict, artifact_dir: str) -> str:
         flat[f"sd::{k}"] = v
     flat["meta"] = np.asarray(
         [art["train_steps"], art["eval_batch"], art["eval_images"],
-         art["seed"], art["classes"], art["proto_res"]], np.int64)
+         art["seed"], art["classes"], art["proto_res"],
+         int(art["signal_jitter"])], np.int64)
     flat["meta_f"] = np.asarray([art["signal"]], np.float64)
     np.savez_compressed(path, **flat)
     return path
@@ -405,13 +419,16 @@ def load_artifacts(name: str, artifact_dir: str) -> dict:
                "seed": int(z["meta"][3]),
                "classes": int(z["meta"][4]) if len(z["meta"]) > 4 else None,
                "proto_res": int(z["meta"][5]) if len(z["meta"]) > 5 else 4,
+               "signal_jitter": bool(z["meta"][6]) if len(z["meta"]) > 6
+               else False,
                "signal": float(z["meta_f"][0]) if "meta_f" in z.files else 0.7,
                "torch_sd": {k[4:]: z[k] for k in z.files
                             if k.startswith("sd::")}}
         for k in ("labels", "pj32", "pj8", "lj8"):
             art[k] = z[k]
     task = task_params(name, signal=art["signal"], classes=art["classes"],
-                       proto_res=art["proto_res"])
+                       proto_res=art["proto_res"],
+                       signal_jitter=art["signal_jitter"])
     images, labels, calib_images = gen_eval_sets(
         name, art["eval_images"], art["eval_batch"], art["seed"], task=task)
     assert np.array_equal(labels, art["labels"]), (

@@ -58,7 +58,8 @@ def _train_arrays(n_images, batch, task, seed=0):
     it = synthetic.SyntheticIterator(
         image_size=task["size"], num_classes=task["classes"],
         batch_size=batch, num_batches=math.ceil(n_images / batch), seed=seed,
-        signal=task["signal"], proto_res=task["proto_res"])
+        signal=task["signal"], proto_res=task["proto_res"],
+        signal_jitter=task["signal_jitter"])
     xs, ys = zip(*list(it))
     return (np.concatenate(xs)[:n_images], np.concatenate(ys)[:n_images])
 

@@ -26,7 +26,8 @@ class SyntheticIterator:
 
     def __init__(self, *, image_size: int = 32, num_classes: int = 100,
                  batch_size: int = 64, num_batches: int = 10, seed: int = 0,
-                 channels: int = 3, signal: float = 0.7, proto_res: int = 4):
+                 channels: int = 3, signal: float = 0.7, proto_res: int = 4,
+                 signal_jitter: bool = False):
         self.image_size = image_size
         self.num_classes = num_classes
         self.batch_size = batch_size
@@ -35,6 +36,10 @@ class SyntheticIterator:
         self.channels = channels
         self.signal = float(signal)
         self.proto_res = proto_res
+        # per-image amplitude ~ U[0, 2*signal]: spreads decision margins
+        # smoothly so population accuracy tracks `signal` without a cliff,
+        # and quantization-induced flips land on genuinely marginal images
+        self.signal_jitter = signal_jitter
         g = np.random.default_rng(1234)
         # fixed low-res class signatures, upsampled
         self._proto = g.normal(
@@ -53,5 +58,7 @@ class SyntheticIterator:
             proto = self._proto[labels]
             proto = np.repeat(np.repeat(proto, s // r, axis=1), s // r, axis=2)
             noise = rng.normal(0, 1, proto.shape).astype(np.float32)
-            yield ((self.signal * proto + noise).astype(np.float32),
+            amp = (self.signal * rng.uniform(0, 2, (self.batch_size, 1, 1, 1))
+                   if self.signal_jitter else self.signal)
+            yield ((amp * proto + noise).astype(np.float32),
                    labels.astype(np.int32))
