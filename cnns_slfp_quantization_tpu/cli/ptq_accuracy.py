@@ -86,8 +86,10 @@ NETS = {
 # per-net fp32 training lr for the synthetic task (batch 64, SGD m=0.9):
 # the no-BN nets (alexnet, squeezenet) diverge at the BN-net default 0.05;
 # VGG/ResNet train much better at 0.01 here
+# alexnet/squeezenet train with adam (TASK "opt"); probed: adam 1e-3
+# collapses them the same way SGD does, adam 1e-4 trains them cleanly
 DEFAULT_LR = {"vgg16": 0.003, "vgg16_gelu": 0.01, "resnet": 0.01,
-              "alexnet": 0.005, "squeezenet": 0.01}
+              "alexnet": 1e-4, "squeezenet": 1e-4}
 
 # Per-net synthetic-task difficulty, tuned (round 5, TPU probe runs) so
 # fp32 top-1 lands in the INFORMATIVE 60-90% band: at saturation (~100%)
@@ -112,14 +114,20 @@ TASK = {
     "vgg16": {"signal": 0.35},
     "vgg16_gelu": {"signal": 0.2},
     "resnet": {"signal": 0.25},
-    "mobilenetv1": {"classes": 100, "signal": 0.3},
-    "alexnet": {"classes": 100, "signal": 0.5},
-    "squeezenet": {"classes": 100, "signal": 0.5},
+    "mobilenetv1": {"classes": 100, "signal": 0.2},
+    # The no-BN nets never escape chance under SGD momentum at ANY
+    # (lr, signal) probed (lr 5e-3..8e-2, signal 0.5..4.0: loss pinned at
+    # ln(100) — dead-ReLU collapse without normalization); Adam trains
+    # them.  The fp32 training recipe is harness-internal — the claim under
+    # test (PTQ flip parity vs the torch oracle) only needs a mid-accuracy
+    # classifier, whatever optimizer produced it.
+    "alexnet": {"classes": 100, "signal": 0.5, "opt": "adam"},
+    "squeezenet": {"classes": 100, "signal": 0.5, "opt": "adam"},
 }
 
 
 def task_params(name: str, *, signal=None, classes=None, proto_res=None,
-                signal_jitter=None):
+                signal_jitter=None, opt=None):
     """Resolve the per-net synthetic-task configuration (CLI overrides win)."""
     dataset, size, default_classes, has_dropout, modname, builder = NETS[name]
     t = TASK.get(name, {})
@@ -131,6 +139,7 @@ def task_params(name: str, *, signal=None, classes=None, proto_res=None,
         "proto_res": int(proto_res or t.get("proto_res", 4)),
         "signal_jitter": bool(t.get("signal_jitter", False)
                               if signal_jitter is None else signal_jitter),
+        "opt": str(opt or t.get("opt", "sgd")),
         "has_dropout": has_dropout,
         "modname": modname,
         "builder": builder,
@@ -160,8 +169,11 @@ def train_our_model(name: str, *, train_steps: int, batch_size: int,
     x0 = jnp.zeros((1, size, size, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(seed), x0, train=False)
 
-    tx = optax.chain(optax.add_decayed_weights(5e-4),
-                     optax.sgd(lr, momentum=0.9))
+    if task["opt"] == "adam":
+        tx = optax.adam(lr)
+    else:
+        tx = optax.chain(optax.add_decayed_weights(5e-4),
+                         optax.sgd(lr, momentum=0.9))
     state = loop.TrainState.create(variables, tx)
     step = jax.jit(loop.make_train_step(model, tx, task["has_dropout"]),
                    donate_argnums=0)

@@ -89,9 +89,13 @@ def test_ptq_flip_rate_parity_mobilenet():
     """
     from cnns_slfp_quantization_tpu.cli import ptq_accuracy
 
+    # signal=0.7 pins the pre-tuning easy task: this reduced 60-step run
+    # gates the MECHANISM (export, calibration, flip statistics); the tuned
+    # harder TASK signals (cli/ptq_accuracy.TASK) need the full 300 steps
+    # and are exercised by the committed docs/ACCURACY.md runs
     r = ptq_accuracy.run_net(
         "mobilenet", train_steps=60, batch_size=64, eval_images=2000,
-        eval_batch=64, lr=0.05, seed=0)
+        eval_batch=64, lr=0.05, seed=0, signal=0.7)
     # the model must actually have learned (chance = 1%)
     assert r["acc_fp32_ours"] > 8.0, r
     # frameworks agree at fp32 (same weights, same math)
