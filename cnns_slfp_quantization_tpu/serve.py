@@ -64,6 +64,9 @@ class InferenceEngine:
             "resnet": "r", "resnet50": "r", "imgnet/resnet": "r",
             "mobilenet": "mc", "cifar/mobilenet": "mc",
             "mobilenetv1": "mi", "imgnet/mobilenetv1": "mi",
+            # +5.5% measured over the bf16 frozen module path
+            # (tools/bench_shufflenet_fused.py, docs/DESIGN.md round 5)
+            "shufflenetv2": "s", "cifar/shufflenetv2": "s",
         }
         self._fuse_kind = _fusable.get(net)
         if fused is None:
@@ -74,8 +77,9 @@ class InferenceEngine:
             if not (self._fuse_kind is not None and qbit == 8):
                 raise ValueError(
                     "fused=True requires net in {resnet, mobilenet, "
-                    "mobilenetv1} and qbit=8 (the fused executors consume "
-                    "SLFP<3,4> frozen weights — float or packed uint8)")
+                    "mobilenetv1, shufflenetv2} and qbit=8 (the fused "
+                    "executors consume SLFP<3,4> frozen weights — float or "
+                    "packed uint8)")
         self.fused = fused
         self.batch_size = batch_size
         self.image_size = image_size or (
@@ -114,6 +118,11 @@ class InferenceEngine:
 
                 self.model = resnet50_fused.as_model(
                     self.scales or calib.load_scales("resnet50_imgnet"))
+            elif self._fuse_kind == "s":
+                from cnns_slfp_quantization_tpu.models import shufflenetv2_fused
+
+                self.model = shufflenetv2_fused.as_model(
+                    self.scales or calib.load_scales("shufflenetv2_cifar"))
             else:
                 from cnns_slfp_quantization_tpu.models import mobilenetv1_fused
 

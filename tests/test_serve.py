@@ -138,3 +138,17 @@ def test_engine_fused_mobilenet():
     eng_i = InferenceEngine("mobilenetv1", qbit=8, batch_size=2, image_size=64)
     assert eng_i.fused
     assert eng_i.predict(np.zeros((2, 64, 64, 3), np.float32)).shape == (2, 1000)
+
+
+def test_engine_fused_shufflenet():
+    """Third fused-executor family (round 5: +5.5% measured A/B,
+    tools/bench_shufflenet_fused.py): auto-selected for SLFP8 bf16 serving,
+    decisions match the module-path engine."""
+    eng = InferenceEngine("shufflenetv2", qbit=8, batch_size=2)
+    assert eng.fused
+    x = np.random.default_rng(3).normal(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    logits = eng.predict(x)
+    assert logits.shape == (2, 100) and np.isfinite(logits).all()
+    eng_m = InferenceEngine("shufflenetv2", qbit=8, batch_size=2, fused=False)
+    assert not eng_m.fused
+    np.testing.assert_array_equal(eng.classify(x), eng_m.classify(x))
