@@ -121,8 +121,14 @@ TASK = {
     # them.  The fp32 training recipe is harness-internal — the claim under
     # test (PTQ flip parity vs the torch oracle) only needs a mid-accuracy
     # classifier, whatever optimizer produced it.
-    "alexnet": {"classes": 100, "signal": 0.5, "opt": "adam"},
-    "squeezenet": {"classes": 100, "signal": 0.5, "opt": "adam"},
+    # signal_jitter (per-image amplitude ~ U[0, 2*signal]) keeps these
+    # nets' held-out top-1 mid-band: their train-accuracy transition is a
+    # cliff (chance -> 92% inside 50 adam steps at fixed amplitude), so
+    # population accuracy is tuned by the margin distribution instead
+    "alexnet": {"classes": 100, "signal": 0.5, "opt": "adam",
+                "signal_jitter": True},
+    "squeezenet": {"classes": 100, "signal": 0.5, "opt": "adam",
+                   "signal_jitter": True},
 }
 
 
